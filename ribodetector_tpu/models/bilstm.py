@@ -1,0 +1,220 @@
+"""Bidirectional LSTM read classifier: parameters + reference forward.
+
+Architecture parity with the reference SeqModel (input 4, hidden 128, 1 layer,
+bidirectional, Linear(256->2) head; reference: ribodetector/model/model.py:10-29,
+ribodetector/config.json:6-14), re-expressed as a functional JAX pytree and a
+`lax.scan` recurrence. ~137,730 fp32 params -- small enough to pin entirely in
+VMEM on TPU (SURVEY.md 3.5).
+
+Weight layout (converted once from the torch checkpoint, see convert.py):
+
+  w_ih_{f,b} : [4, 512]   input projection, transposed from torch [512, 4]
+  w_hh_{f,b} : [128, 512] recurrent projection, transposed from torch [512,128]
+  b_{f,b}    : [512]      b_ih + b_hh summed (they only ever appear summed)
+  w_out      : [256, 2]   head, transposed from torch [2, 256]
+  b_out      : [2]
+
+Gate order along the 512 axis is torch's i,f,g,o (4 x 128 blocks).
+
+Two gather semantics are implemented (SURVEY.md 3.4 -- they are NOT
+bit-identical for padded reads and the reference exposes both):
+
+- "dense" (the ONNX / detect_cpu path, model_cpu.py:29-37,57-62): both
+  directions run over all T rows including zero padding (zero input still
+  evolves state through the biases); the output is gathered at the LAST
+  NON-ZERO INPUT ROW, computed as T-1-argmax(flip(rowsum)) which falls back
+  to T-1 for an all-zero read (np.argmax-of-zeros quirk).
+
+- "packed" (the cuDNN PackedSequence path, model.py:32-37,114-119): the
+  recurrence covers exactly the true read length L; the forward state is
+  taken at t=L-1 and the backward direction STARTS at t=L-1 (so the gathered
+  backward state has absorbed no padding steps).
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+HIDDEN = 128
+GATES = 4 * HIDDEN
+ALPHABET = 4  # A C G T; token 4 = zero row / padding
+NUM_CLASSES = 2
+
+
+class BiLSTMParams(NamedTuple):
+    w_ih_f: jax.Array  # [4, 512]
+    w_hh_f: jax.Array  # [128, 512]
+    b_f: jax.Array  # [512]
+    w_ih_b: jax.Array  # [4, 512]
+    w_hh_b: jax.Array  # [128, 512]
+    b_b: jax.Array  # [512]
+    w_out: jax.Array  # [256, 2]
+    b_out: jax.Array  # [2]
+
+
+def init_params(key, hidden=HIDDEN, dtype=jnp.float32) -> BiLSTMParams:
+    """Random init (uniform +-1/sqrt(hidden), torch nn.LSTM's default)."""
+    ks = jax.random.split(key, 8)
+    bound = 1.0 / np.sqrt(hidden)
+    g = 4 * hidden
+
+    def u(k, shape):
+        return jax.random.uniform(k, shape, dtype, minval=-bound, maxval=bound)
+
+    return BiLSTMParams(
+        w_ih_f=u(ks[0], (ALPHABET, g)),
+        w_hh_f=u(ks[1], (hidden, g)),
+        b_f=u(ks[2], (g,)) + u(ks[3], (g,)),
+        w_ih_b=u(ks[4], (ALPHABET, g)),
+        w_hh_b=u(ks[5], (hidden, g)),
+        b_b=u(ks[6], (g,)) + u(ks[7], (g,)),
+        w_out=u(ks[0], (2 * hidden, NUM_CLASSES)),
+        b_out=jnp.zeros((NUM_CLASSES,), dtype),
+    )
+
+
+def save_params(path, params: BiLSTMParams, meta: dict | None = None):
+    arrays = {k: np.asarray(v) for k, v in params._asdict().items()}
+    if meta:
+        import json
+
+        arrays["_meta_json"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        )
+    np.savez(path, **arrays)
+
+
+def load_params(path, dtype=jnp.float32) -> BiLSTMParams:
+    with np.load(path) as z:
+        return BiLSTMParams(
+            **{
+                k: jnp.asarray(z[k], dtype)
+                for k in BiLSTMParams._fields
+            }
+        )
+
+
+def load_params_meta(path) -> dict:
+    import json
+
+    with np.load(path) as z:
+        if "_meta_json" in z:
+            return json.loads(z["_meta_json"].tobytes().decode("utf-8"))
+    return {}
+
+
+def dense_gather_index(tokens):
+    """Index of the last non-zero input row per read; T-1 if none.
+
+    Matches last_out_items' T-1-argmax(flip(rowsum)) (model_cpu.py:57-62):
+    for a trailing run of zero rows argmax(flip) is its length, and for an
+    all-zero input argmax returns 0 => index T-1.
+    """
+    T = tokens.shape[-1]
+    pos = jnp.arange(T, dtype=jnp.int32)
+    last = jnp.max(jnp.where(tokens != ALPHABET, pos, -1), axis=-1)
+    return jnp.where(last < 0, T - 1, last).astype(jnp.int32)
+
+
+def _lstm_cell(h, c, gates_x, w_hh, precision):
+    """One torch-ordered (i,f,g,o) LSTM cell step.
+
+    gates_x already contains the input projection + bias.
+    """
+    gates = gates_x + jnp.dot(h, w_hh, precision=precision)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def bilstm_logits(
+    params: BiLSTMParams,
+    tokens,
+    lengths=None,
+    *,
+    semantics: str = "dense",
+    precision=jax.lax.Precision.HIGHEST,
+    compute_dtype=jnp.float32,
+):
+    """Classify a padded batch of token reads.
+
+    Args:
+      params: BiLSTMParams pytree.
+      tokens: [B, T] integer tokens in 0..4 (4 = zero row / padding).
+      lengths: [B] int32 true lengths; required for semantics="packed".
+      semantics: "dense" (ONNX/detect_cpu parity) or "packed" (cuDNN parity).
+      precision: matmul precision (HIGHEST for fp32 argmax parity).
+      compute_dtype: recurrence dtype (float32 for parity, bfloat16 for speed).
+
+    Returns: [B, 2] logits (class 0 = non-rRNA, 1 = rRNA; quirk #10).
+    """
+    if semantics not in ("dense", "packed"):
+        raise ValueError(f"unknown semantics: {semantics}")
+    packed = semantics == "packed"
+    if packed and lengths is None:
+        raise ValueError("packed semantics requires lengths")
+
+    B, T = tokens.shape
+    tokens = tokens.astype(jnp.int32)
+    cd = compute_dtype
+
+    # Input projection tables with bias folded in: row k<4 = w_ih[k] + b,
+    # row 4 (zero input row) = b alone. One gather replaces the [B,4]x[4,512]
+    # matmul each step because the input is one-hot by construction.
+    e_f = jnp.concatenate([params.w_ih_f, jnp.zeros((1, GATES), params.w_ih_f.dtype)]) + params.b_f
+    e_b = jnp.concatenate([params.w_ih_b, jnp.zeros((1, GATES), params.w_ih_b.dtype)]) + params.b_b
+    e_f = e_f.astype(cd)
+    e_b = e_b.astype(cd)
+    w_hh_f = params.w_hh_f.astype(cd)
+    w_hh_b = params.w_hh_b.astype(cd)
+
+    if packed:
+        lengths = lengths.astype(jnp.int32)
+        gather_idx = jnp.maximum(lengths - 1, 0)
+    else:
+        gather_idx = dense_gather_index(tokens)
+
+    h0 = jnp.zeros((B, HIDDEN), cd)
+    zeros6 = (h0, h0, h0, h0, h0, h0)
+
+    # The two directions run in ONE scan: step t advances the forward cell at
+    # position t and the backward cell at position T-1-t, capturing each
+    # direction's state at its per-read gather position with a masked select.
+    xs = (
+        tokens.T,  # [T, B] forward tokens
+        tokens[:, ::-1].T,  # [T, B] backward tokens
+        jnp.arange(T, dtype=jnp.int32),
+    )
+
+    def step(carry, x):
+        h_f, c_f, h_b, c_b, cap_f, cap_b = carry
+        tok_f, tok_b, t = x
+        pos_b = T - 1 - t
+
+        h_f_new, c_f_new = _lstm_cell(h_f, c_f, jnp.take(e_f, tok_f, axis=0), w_hh_f, precision)
+        h_b_new, c_b_new = _lstm_cell(h_b, c_b, jnp.take(e_b, tok_b, axis=0), w_hh_b, precision)
+
+        if packed:
+            # Backward direction starts exactly at the true last base: padding
+            # positions (pos >= L) leave the carry untouched (model.py:114-119
+            # PackedSequence semantics). Forward may harmlessly run past L-1
+            # because its state was already captured there.
+            valid_b = (pos_b < lengths)[:, None]
+            h_b_new = jnp.where(valid_b, h_b_new, h_b)
+            c_b_new = jnp.where(valid_b, c_b_new, c_b)
+
+        cap_f = jnp.where((t == gather_idx)[:, None], h_f_new, cap_f)
+        cap_b = jnp.where((pos_b == gather_idx)[:, None], h_b_new, cap_b)
+        return (h_f_new, c_f_new, h_b_new, c_b_new, cap_f, cap_b), None
+
+    (_, _, _, _, cap_f, cap_b), _ = jax.lax.scan(step, zeros6, xs)
+
+    last_out = jnp.concatenate([cap_f, cap_b], axis=-1)
+    logits = (
+        jnp.dot(last_out, params.w_out.astype(cd), precision=precision)
+        + params.b_out.astype(cd)
+    )
+    return logits.astype(jnp.float32)

@@ -1,0 +1,86 @@
+"""Convert the reference torch checkpoint to the native .npz parameter artifact.
+
+This is the TPU-native counterpart of the reference's ONNX export tool
+(reference: ribodetector/convert_onnx.py:20-54): instead of exporting a second
+runtime format, it degates the torch state dict once into the functional
+layout consumed by models/bilstm.py.
+
+torch nn.LSTM state dict layout (reference checkpoint
+ribodetector_600k_variable_len70_101_epoch47.pth, fp32, gate order i,f,g,o):
+
+  rnn.weight_ih_l0 [512, 4], rnn.weight_hh_l0 [512, 128],
+  rnn.bias_ih_l0 / rnn.bias_hh_l0 [512,], the same *_reverse set,
+  out.weight [2, 256], out.bias [2,]
+
+Usage:
+  python -m ribodetector_tpu.models.convert <checkpoint.pth> <out.npz>
+
+torch is required only by this converter, never by the inference engine.
+"""
+
+import sys
+
+import numpy as np
+
+
+def state_dict_to_arrays(state_dict) -> dict:
+    """Map torch tensors/ndarrays (state-dict layout) to the native layout."""
+
+    def a(key):
+        v = state_dict[key]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, dtype=np.float32)
+
+    return dict(
+        w_ih_f=a("rnn.weight_ih_l0").T.copy(),
+        w_hh_f=a("rnn.weight_hh_l0").T.copy(),
+        b_f=a("rnn.bias_ih_l0") + a("rnn.bias_hh_l0"),
+        w_ih_b=a("rnn.weight_ih_l0_reverse").T.copy(),
+        w_hh_b=a("rnn.weight_hh_l0_reverse").T.copy(),
+        b_b=a("rnn.bias_ih_l0_reverse") + a("rnn.bias_hh_l0_reverse"),
+        w_out=a("out.weight").T.copy(),
+        b_out=a("out.bias"),
+    )
+
+
+def convert_checkpoint(pth_path: str, npz_path: str) -> dict:
+    """Load a torch .pth checkpoint and write the .npz artifact.
+
+    Accepts both a raw state dict and the reference's full checkpoint dict
+    (keys arch/epoch/state_dict/metrics/..., detect.py:101,115-116).
+    Returns the metadata dict stored alongside the weights.
+    """
+    import json
+
+    import torch
+
+    state = torch.load(pth_path, map_location="cpu", weights_only=False)
+    meta = {"source_checkpoint": str(pth_path)}
+    if isinstance(state, dict) and "state_dict" in state:
+        for k in ("arch", "epoch", "batch_size", "metrics"):
+            if k in state:
+                meta[k] = state[k]
+        state_dict = state["state_dict"]
+    else:
+        state_dict = state
+
+    arrays = state_dict_to_arrays(state_dict)
+    arrays["_meta_json"] = np.frombuffer(
+        json.dumps(meta, default=str).encode("utf-8"), dtype=np.uint8
+    )
+    np.savez(npz_path, **arrays)
+    return meta
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) != 2:
+        print(__doc__)
+        raise SystemExit(2)
+    meta = convert_checkpoint(argv[0], argv[1])
+    print("wrote", argv[1], "meta:", meta)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""Golden parity: JAX BiLSTM vs the reference torch checkpoint.
+
+Covers both gather semantics (SURVEY.md 3.4): dense (ONNX/detect_cpu path)
+and packed (cuDNN PackedSequence path), on reads with N bases, lowercase
+bases, and variable lengths.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ribodetector_tpu.encode import encode_batch, tokens_to_onehot_np
+from ribodetector_tpu.models import load_params, bilstm_logits, dense_gather_index
+from tests.conftest import random_reads
+
+
+@pytest.fixture(scope="module")
+def params(ref_params_path):
+    return load_params(ref_params_path)
+
+
+@pytest.fixture(scope="module")
+def batch(rng):
+    seqs = random_reads(rng, 48)
+    seqs += ["N" * 50, "A" * 100, "ACGT", "acgtacgtacgt", "ACGTN" * 10]
+    tokens, lengths = encode_batch(seqs, 100)
+    return tokens, lengths
+
+
+def test_dense_semantics_matches_torch(params, batch, torch_reference):
+    tokens, lengths = batch
+    dense_logits, _ = torch_reference
+    want = dense_logits(tokens_to_onehot_np(tokens))
+    got = np.asarray(
+        jax.jit(lambda t: bilstm_logits(params, t, semantics="dense"))(
+            jnp.asarray(tokens)
+        )
+    )
+    assert np.abs(got - want).max() < 5e-3
+    np.testing.assert_array_equal(got.argmax(1), want.argmax(1))
+
+
+def test_packed_semantics_matches_torch(params, batch, torch_reference):
+    tokens, lengths = batch
+    _, packed_logits = torch_reference
+    want = packed_logits(tokens_to_onehot_np(tokens), lengths)
+    got = np.asarray(
+        jax.jit(lambda t, l: bilstm_logits(params, t, l, semantics="packed"))(
+            jnp.asarray(tokens), jnp.asarray(lengths)
+        )
+    )
+    assert np.abs(got - want).max() < 5e-3
+    np.testing.assert_array_equal(got.argmax(1), want.argmax(1))
+
+
+def test_dense_gather_index_quirks():
+    # trailing Ns gather at last ACGT base; all-N reads gather at T-1
+    # (np.argmax-of-zeros quirk, model_cpu.py:57-62)
+    tokens, _ = encode_batch(["ACGTNN", "NNNNNN", "NACGTN", "ACGTAC"], 6)
+    idx = np.asarray(dense_gather_index(jnp.asarray(tokens)))
+    np.testing.assert_array_equal(idx, [3, 5, 4, 5])
+
+
+def test_semantics_differ_on_padded_reads(params):
+    # the two paths are NOT bit-identical for short reads (SURVEY.md 3.4)
+    tokens, lengths = encode_batch(["ACGTACGTAC"], 100)
+    ld = bilstm_logits(params, jnp.asarray(tokens), semantics="dense")
+    lp = bilstm_logits(
+        params, jnp.asarray(tokens), jnp.asarray(lengths), semantics="packed"
+    )
+    assert float(jnp.abs(ld - lp).max()) > 1e-4
+
+
+def test_bfloat16_mode_agrees_at_argmax(params, batch):
+    tokens, _ = batch
+    f32 = bilstm_logits(params, jnp.asarray(tokens), semantics="dense")
+    bf16 = bilstm_logits(
+        params,
+        jnp.asarray(tokens),
+        semantics="dense",
+        compute_dtype=jnp.bfloat16,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    match = (np.asarray(f32).argmax(1) == np.asarray(bf16).argmax(1)).mean()
+    assert match > 0.95
