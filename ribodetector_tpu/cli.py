@@ -1,0 +1,88 @@
+"""Command-line interface.
+
+Flag and behavior parity with the reference entry points
+(reference: ribodetector/detect.py:763-809 and detect_cpu.py:776-825):
+-c/--config, -d/--deviceid, -l/--len, -i/--input, -o/--output, -r/--rrna,
+-e/--ensure, -t/--threads, -m/--memory, --chunk_size, --log, -v/--version.
+
+One binary replaces both `ribodetector` and `ribodetector_cpu`: the engine
+targets whatever backend JAX selects (TPU when available, else CPU), so there
+is no split CLI. TPU-specific additions: --semantics {dense,packed} picks the
+reference path to reproduce (ONNX/dense vs cuDNN/packed, SURVEY.md 3.4) and
+--kernel {auto,scan,pallas} selects the compute kernel.
+"""
+
+import argparse
+import os
+from argparse import RawTextHelpFormatter
+
+from ribodetector_tpu import __version__
+from ribodetector_tpu.config import DEFAULT_CONFIG, ConfigParser
+
+
+def build_arg_parser():
+    args = argparse.ArgumentParser(
+        description="rRNA sequence detector (TPU-native)",
+        formatter_class=RawTextHelpFormatter,
+    )
+    args.add_argument("-c", "--config", default=None, type=str,
+                      help="Path of config file")
+    args.add_argument("-d", "--deviceid", default=None, type=str,
+                      help="Device selector forwarded to JAX (e.g. index of the TPU chip to use). (default: all)")
+    args.add_argument("-l", "--len", type=int, required=True,
+                      help="Sequencing read length. Note: the accuracy reduces for reads shorter than 40.")
+    args.add_argument("-i", "--input", default=None, type=str, nargs="*", required=True,
+                      help="Path of input sequence files (fasta and fastq), the second file will be considered as second end if two files given.")
+    args.add_argument("-o", "--output", default=None, type=str, nargs="*", required=True,
+                      help="Path of the output sequence files after rRNAs removal (same number of files as input). \n(Note: 2 times slower to write gz files)")
+    args.add_argument("-r", "--rrna", default=None, type=str, nargs="*",
+                      help="Path of the output sequence file of detected rRNAs (same number of files as input)")
+    args.add_argument("-e", "--ensure", default="none", type=str,
+                      choices=["rrna", "norrna", "both", "none"],
+                      help="""Ensure which classificaion has high confidence for paired end reads.
+norrna: output only high confident non-rRNAs, the rest are clasified as rRNAs;
+rrna: vice versa, only high confident rRNAs are classified as rRNA and the rest output as non-rRNAs;
+both: both non-rRNA and rRNA prediction with high confidence;
+none: give label based on the mean probability of read pair.
+      (Only applicable for paired end reads, discard the read pair when their predicitons are discordant)""")
+    args.add_argument("-t", "--threads", default=10, type=int,
+                      help="Number of host threads to use. (default: 10)")
+    args.add_argument("-m", "--memory", default=32, type=int,
+                      help="Amount (GB) of device RAM for batch sizing. (default: 32)")
+    args.add_argument("--chunk_size", default=None, type=int,
+                      help="Use this parameter when having low memory. Parsing the file in chunks.\n{}.\n{}.".format(
+                          "Not needed when free RAM >=5 * your_file_size (uncompressed, sum of paired ends)",
+                          "When chunk_size=256, memory=16 it will load 256 * 16 * 1024 reads each chunk",
+                      ))
+    args.add_argument("--log", default=None, type=str, help="Log file name")
+    args.add_argument("--semantics", default=None, type=str,
+                      choices=["dense", "packed"],
+                      help="Recurrence/gather semantics to reproduce: dense = reference CPU/ONNX path,\npacked = reference GPU/cuDNN PackedSequence path. (default: config value, dense)")
+    args.add_argument("--kernel", default=None, type=str,
+                      choices=["auto", "scan", "pallas"],
+                      help="Compute kernel: Pallas fused TPU kernel, XLA scan, or auto. (default: auto)")
+    args.add_argument("-v", "--version", action="version",
+                      version="%(prog)s {version}".format(version=__version__))
+    return args
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+    if args.deviceid is not None:
+        # restrict visible TPU chips, analogous to CUDA_VISIBLE_DEVICES
+        # gating in the reference (detect.py:90-91)
+        os.environ.setdefault("TPU_VISIBLE_DEVICES", args.deviceid)
+    config_file = args.config if args.config is not None else DEFAULT_CONFIG
+    config = ConfigParser.from_json(config_file)
+    if args.kernel is not None:
+        config.config.setdefault("runtime", {})["kernel"] = args.kernel
+
+    from ribodetector_tpu.runtime import Predictor
+
+    seq_pred = Predictor(config, args)
+    seq_pred.load_model()
+    seq_pred.detect()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Config system: JSON config wrapper + logger factory.
+
+API parity with the reference's ConfigParser
+(reference: ribodetector/parse_config.py:11-92): ``from_json``, dict-style
+``__getitem__``, reflective ``init_obj``, and ``get_logger`` with the same
+log levels, message format and optional file handler. The default config
+lives next to the package (config.json), like the reference's
+(ribodetector/config.json, loaded at detect.py:802-806).
+"""
+
+import json
+import logging
+import os
+from functools import partial
+from pathlib import Path
+
+PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_CONFIG = os.path.join(PACKAGE_DIR, "config.json")
+
+LOG_LEVELS = {0: logging.WARNING, 1: logging.INFO, 2: logging.DEBUG}
+
+
+class ConfigParser:
+    def __init__(self, config: dict):
+        self.config = config
+        self.log_levels = LOG_LEVELS
+
+    @classmethod
+    def from_json(cls, config_json):
+        with open(Path(config_json), "rt") as fh:
+            return cls(json.load(fh))
+
+    def __getitem__(self, name):
+        return self.config[name]
+
+    def get(self, name, default=None):
+        return self.config.get(name, default)
+
+    def init_obj(self, name, module, *args, **kwargs):
+        """`config.init_obj('arch', module)` -> `module.<type>(**<args>)`."""
+        module_name = self[name]["type"]
+        module_args = dict(self[name]["args"])
+        assert all(
+            k not in module_args for k in kwargs
+        ), "Overwriting kwargs given in config file is not allowed"
+        module_args.update(kwargs)
+        return getattr(module, module_name)(*args, **module_args)
+
+    def init_ftn(self, name, module, *args, **kwargs):
+        module_name = self[name]["type"]
+        module_args = dict(self[name]["args"])
+        assert all(
+            k not in module_args for k in kwargs
+        ), "Overwriting kwargs given in config file is not allowed"
+        module_args.update(kwargs)
+        return partial(getattr(module, module_name), *args, **module_args)
+
+    def get_logger(self, name, verbosity=2, logfile=None):
+        handlers = [logging.StreamHandler()]
+        if logfile is not None:
+            handlers.append(logging.FileHandler(logfile, mode="w"))
+        assert verbosity in self.log_levels, (
+            "verbosity option {} is invalid. Valid options are {}.".format(
+                verbosity, self.log_levels.keys()
+            )
+        )
+        logging.basicConfig(
+            level=self.log_levels[verbosity],
+            format="%(asctime)s : %(levelname)s  %(message)s",
+            datefmt="%Y-%m-%d %H:%M:%S",
+            handlers=handlers,
+            force=True,
+        )
+        return logging.getLogger(name)
+
+
+class colors:
+    """ANSI colors for log cosmetics (reference: detect.py:744-761)."""
+
+    HEADER = "\033[95m"
+    OKBLUE = "\033[94m"
+    OKCYAN = "\033[96m"
+    OKGREEN = "\033[92m"
+    OKYELLOW = "\033[33m"
+    OKMAG = "\033[35m"
+    WARNING = "\033[93m"
+    FAIL = "\033[91m"
+    ENDC = "\033[0m"
+    BOLD = "\033[1m"
+    UNDERLINE = "\033[4m"
+    UPDATE = "\033[F"

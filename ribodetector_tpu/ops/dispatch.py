@@ -1,0 +1,54 @@
+"""Kernel dispatch for the BiLSTM classify step.
+
+Selects between the XLA `lax.scan` reference implementation
+(models/bilstm.py) and the fused Pallas TPU kernel (ops/lstm_pallas.py).
+kernel="auto" uses Pallas on TPU backends and scan elsewhere; "scan" or
+"pallas" force a choice (runtime config key runtime.kernel).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ribodetector_tpu.models.bilstm import bilstm_logits
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def classify_logits(
+    params,
+    tokens,
+    lengths=None,
+    *,
+    semantics="dense",
+    compute_dtype=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+    kernel="auto",
+):
+    """[B, T] tokens -> [B, 2] logits using the selected kernel."""
+    if kernel == "auto":
+        kernel = "pallas" if _on_tpu() else "scan"
+    if kernel == "pallas":
+        from ribodetector_tpu.ops.lstm_pallas import bilstm_logits_pallas
+
+        return bilstm_logits_pallas(
+            params,
+            tokens,
+            lengths,
+            semantics=semantics,
+            compute_dtype=compute_dtype,
+        )
+    if kernel == "scan":
+        return bilstm_logits(
+            params,
+            tokens,
+            lengths,
+            semantics=semantics,
+            compute_dtype=compute_dtype,
+            precision=precision,
+        )
+    raise ValueError(f"unknown kernel: {kernel}")

@@ -1,0 +1,417 @@
+"""The inference engine: streaming chunk pipeline around a jitted classify step.
+
+This single runtime replaces BOTH reference runtimes (the torch/CUDA
+detect.py:121-523 and the onnxruntime/process-pool detect_cpu.py:98-441 --
+near-duplicate vertical slices, SURVEY.md 1). Orchestration parity:
+
+- whole-file mode (`run`) and bounded-memory chunked mode (`run_with_chunks`,
+  chunk = batch_size * chunk_size reads, detect.py:371)
+- file-count validation and error messages (detect.py:536-553)
+- weight selection: "recall" iff ensure == "norrna", else "mcc"
+  (quirk #6, detect.py:64-71)
+- batch size formula (quirk #9, detect.py:555-570)
+- ensure-mode reconciliation + output bucketing (runtime/ensure.py)
+- per-batch '\n'.join writes, gzip level 5 (quirks #7, #11)
+- run-summary log messages (detect.py:210-247)
+
+TPU-first differences (intentional):
+- ONE static device shape per run ([batch, len] padded token batch) so XLA
+  compiles exactly once; the final partial batch is padded and sliced.
+- paired ends are classified in one fused [2B, T] device call instead of two.
+- the device step is dispatched asynchronously; while batch i runs on TPU the
+  host writes batch i-1's outputs and encodes batch i+1 (the reference needs
+  worker processes for this; JAX's async dispatch gives it for free).
+- deterministic output ordering always (the reference CPU path is
+  completion-order nondeterministic, detect_cpu.py:109,705,730).
+"""
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ribodetector_tpu.config import PACKAGE_DIR, colors
+from ribodetector_tpu.encode import PAD_TOKEN, encode_batch
+from ribodetector_tpu.io import (
+    get_pairedread_chunks,
+    get_seq_chunks,
+    load_reads,
+    open_for_write,
+)
+from ribodetector_tpu.runtime.batching import auto_batch_size
+from ribodetector_tpu.runtime.ensure import separate_paired_reads, separate_reads
+
+try:
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+    def tqdm(it, **kw):
+        return it
+
+
+class Predictor:
+    """End-to-end rRNA detection over FASTQ/FASTA files."""
+
+    def __init__(self, config, args):
+        self.config = config
+        self.args = args
+        self.logger = config.get_logger("predict", 1, getattr(args, "log", None))
+        self.chunk_size = getattr(args, "chunk_size", None)
+
+    # ------------------------------------------------------------- model
+
+    def get_state_file(self):
+        self.len = self.args.len
+        if self.len < 40:
+            # accuracy warning only, never an error (quirk #12, detect.py:54-62)
+            self.logger.info("The accuracy will drop with reads shorter than 40.")
+        model_file_ext = "recall" if self.args.ensure == "norrna" else "mcc"
+        state_file = self.config["state_file"][model_file_ext]
+        if not os.path.isabs(state_file):
+            state_file = os.path.join(PACKAGE_DIR, state_file)
+        self.state_file = state_file
+        self.logger.info("Using high {} model".format(model_file_ext.upper()))
+        self.logger.info("Log file: {}".format(getattr(self.args, "log", None)))
+
+    def load_model(self):
+        """Load weights and build the jitted classify step."""
+        import jax
+
+        from ribodetector_tpu.models import load_params
+
+        # persistent compilation cache: repeat runs skip the one-off XLA
+        # compile of the classify step
+        try:
+            cache_dir = os.environ.get(
+                "RIBODETECTOR_TPU_CACHE",
+                os.path.join(os.path.expanduser("~"), ".cache", "ribodetector_tpu"),
+            )
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
+
+        self.get_state_file()
+        self.params = load_params(self.state_file)
+        runtime_cfg = self.config.get("runtime", {})
+        self.semantics = getattr(self.args, "semantics", None) or runtime_cfg.get(
+            "semantics", "dense"
+        )
+        self.compute_dtype = runtime_cfg.get("compute_dtype", "float32")
+        self.kernel = runtime_cfg.get("kernel", "auto")
+        self.device = jax.devices()[0]
+        self.logger.info(
+            "Model using {} for read length {}{}{}{} loaded".format(
+                self.device.platform,
+                colors.BOLD,
+                colors.OKCYAN,
+                self.len,
+                colors.ENDC,
+            )
+        )
+        self._infer = self._build_infer()
+
+    def _build_infer(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ribodetector_tpu.ops import classify_logits
+
+        params = jax.device_put(self.params, self.device)
+        semantics = self.semantics
+        compute_dtype = jnp.dtype(self.compute_dtype).type
+        kernel = self.kernel
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+
+        @jax.jit
+        def infer(tokens, lengths):
+            return classify_logits(
+                params,
+                tokens,
+                lengths,
+                semantics=semantics,
+                compute_dtype=compute_dtype,
+                precision=precision,
+                kernel=kernel,
+            )
+
+        return infer
+
+    # ------------------------------------------------------------ encode
+
+    def _encode_padded(self, seqs, rows):
+        """Encode to a fixed [rows, len] token matrix (pad rows with PAD_TOKEN)."""
+        tokens = np.full((rows, self.len), PAD_TOKEN, dtype=np.uint8)
+        enc, lengths_n = encode_batch(seqs, self.len, out_tokens=tokens)
+        lengths = np.zeros(rows, dtype=np.int32)
+        lengths[: len(seqs)] = lengths_n
+        return tokens, lengths
+
+    def _classify(self, seqs, rows):
+        """Dispatch one async device call; returns a jax array of [rows, 2] logits."""
+        tokens, lengths = self._encode_padded(seqs, rows)
+        return self._infer(tokens, lengths)
+
+    # ------------------------------------------------------------- runs
+
+    def detect(self):
+        self.input = self.args.input
+        self.output = self.args.output
+        self.rrna = self.args.rrna
+
+        num_inputs = len(self.input)
+        num_rrna_outputs = None if self.rrna is None else len(self.rrna)
+        num_norrna_outputs = len(self.output)
+        if num_inputs != num_norrna_outputs or num_inputs > 2:
+            self.logger.error(
+                "{}The number of input and output sequence files is invalid!{}".format(
+                    colors.FAIL, colors.ENDC
+                )
+            )
+            raise RuntimeError(
+                "Input or output should have no more than two files and they should have the same number of files."
+            )
+        if num_rrna_outputs is not None and num_rrna_outputs != num_inputs:
+            self.logger.error(
+                "{}The number of output rRNA sequence files is invalid!{}".format(
+                    colors.FAIL, colors.ENDC
+                )
+            )
+            raise RuntimeError(
+                "Ouput rRNA should have no more than two files and they should the same number with input files."
+            )
+
+        self.is_paired = num_inputs == 2
+        self.batch_size = auto_batch_size(self.args.memory, self.len, self.is_paired)
+        self.logger.info(
+            "Choose batch size: {}{}{}{} based on the given RAM size {}GB and max read length {}".format(
+                colors.BOLD,
+                colors.OKCYAN,
+                self.batch_size,
+                colors.ENDC,
+                self.args.memory,
+                self.len,
+            )
+        )
+
+        if self.chunk_size is None:
+            self.run()
+        else:
+            self.run_with_chunks()
+
+    # -- output file management
+
+    def _open_outputs(self):
+        fhs = {}
+        if self.rrna is not None:
+            self.logger.info(
+                "Writing output rRNA sequences into file: {}{}{}".format(
+                    colors.OKBLUE, ", ".join(self.rrna), colors.ENDC
+                )
+            )
+            fhs["rrna"] = [open_for_write(f) for f in self.rrna]
+        self.logger.info(
+            "Writing output non-rRNA sequences into file: {}{}{}".format(
+                colors.OKBLUE, ", ".join(self.output), colors.ENDC
+            )
+        )
+        fhs["norrna"] = [open_for_write(f) for f in self.output]
+        if self.is_paired and self.args.ensure == "both":
+            # discordant pairs always land in gzipped .unclassified files
+            # (quirk #5, detect.py:161-171)
+            unclf = [f + ".unclassified.gz" for f in self.output]
+            fhs["unclf"] = [open_for_write(f) for f in unclf]
+            self.logger.info(
+                "Writing unclassified sequences into file: {}{}{}".format(
+                    colors.OKYELLOW, ", ".join(unclf), colors.ENDC
+                )
+            )
+        return fhs
+
+    @staticmethod
+    def _close_outputs(fhs):
+        for group in fhs.values():
+            for fh in group:
+                fh.close()
+
+    @staticmethod
+    def _write_bucket(fh, bucket):
+        if bucket:
+            fh.write("\n".join(bucket) + "\n")
+
+    def _emit_paired(self, fhs, r1_dict, r2_dict, counts):
+        counts["norrna"] += len(r1_dict.get(0, ()))
+        counts["rrna"] += len(r1_dict.get(1, ()))
+        self._write_bucket(fhs["norrna"][0], r1_dict.get(0, ()))
+        self._write_bucket(fhs["norrna"][1], r2_dict.get(0, ()))
+        if "rrna" in fhs:
+            self._write_bucket(fhs["rrna"][0], r1_dict.get(1, ()))
+            self._write_bucket(fhs["rrna"][1], r2_dict.get(1, ()))
+        if "unclf" in fhs:
+            counts["unclf"] += len(r1_dict.get(-1, ()))
+            self._write_bucket(fhs["unclf"][0], r1_dict.get(-1, ()))
+            self._write_bucket(fhs["unclf"][1], r2_dict.get(-1, ()))
+
+    def _emit_single(self, fhs, buckets, counts):
+        counts["norrna"] += len(buckets.get(0, ()))
+        counts["rrna"] += len(buckets.get(1, ()))
+        self._write_bucket(fhs["norrna"][0], buckets.get(0, ()))
+        if "rrna" in fhs:
+            self._write_bucket(fhs["rrna"][0], buckets.get(1, ()))
+
+    def _log_summary(self, num_seqs, counts):
+        self.logger.info(
+            "Processed {}{}{}{} sequences in total".format(
+                colors.BOLD, colors.OKCYAN, num_seqs, colors.ENDC
+            )
+        )
+        self.logger.info(
+            "Detected {}{}{}{} non-rRNA sequences".format(
+                colors.BOLD, colors.OKCYAN, counts["norrna"], colors.ENDC
+            )
+        )
+        self.logger.info(
+            "Detected {}{}{}{} rRNA sequences".format(
+                colors.BOLD, colors.OKCYAN, counts["rrna"], colors.ENDC
+            )
+        )
+        if "unclf" in counts and self.is_paired and self.args.ensure == "both":
+            self.logger.info(
+                "Discarded {}{}{}{} unclassified sequences".format(
+                    colors.BOLD, colors.OKCYAN, counts["unclf"], colors.ENDC
+                )
+            )
+
+    # -- batch iteration with a one-deep async pipeline
+
+    def _paired_batches(self, r1_reads, r2_reads):
+        """Classify paired reads with one fused [2B, T] device call per batch.
+
+        Yields (r1_records, r2_records, r1_logits, r2_logits) per batch with
+        the device step of batch i overlapping host work of batches i-1/i+1.
+        """
+        bs = self.batch_size
+        n = len(r1_reads)
+        pending = None
+        for start in range(0, n, bs):
+            r1_b = r1_reads[start : start + bs]
+            r2_b = r2_reads[start : start + bs]
+            nb = len(r1_b)
+            seqs = [r[1] for r in r1_b] + [r[1] for r in r2_b]
+            logits_dev = self._classify(seqs, 2 * bs)
+            if pending is not None:
+                yield self._finalize_paired(*pending)
+            pending = (r1_b, r2_b, logits_dev, nb)
+        if pending is not None:
+            yield self._finalize_paired(*pending)
+
+    def _finalize_paired(self, r1_b, r2_b, logits_dev, nb):
+        # the encoder packs R1 rows at [0, nb) and R2 rows at [nb, 2nb)
+        # (remaining rows up to 2*batch_size are padding)
+        logits = np.asarray(logits_dev)
+        return r1_b, r2_b, logits[:nb], logits[nb : 2 * nb]
+
+    def _single_batches(self, reads):
+        bs = self.batch_size
+        pending = None
+        for start in range(0, len(reads), bs):
+            batch = reads[start : start + bs]
+            logits_dev = self._classify([r[1] for r in batch], bs)
+            if pending is not None:
+                yield pending[0], np.asarray(pending[1])[: len(pending[0])]
+            pending = (batch, logits_dev)
+        if pending is not None:
+            yield pending[0], np.asarray(pending[1])[: len(pending[0])]
+
+    # -- whole-file mode (detect.py:121-324)
+
+    def run(self):
+        counts = {"norrna": 0, "rrna": 0, "unclf": 0}
+        if self.is_paired:
+            # parse R1/R2 concurrently (reference uses Pool(2), detect.py:131-132)
+            with ThreadPoolExecutor(2) as ex:
+                r1_reads, r2_reads = ex.map(load_reads, self.input)
+            num_seqs = min(len(r1_reads), len(r2_reads))
+            r1_reads, r2_reads = r1_reads[:num_seqs], r2_reads[:num_seqs]
+            self.logger.info(
+                "{}{}{}{} sequences loaded!".format(
+                    colors.BOLD, colors.OKCYAN, num_seqs, colors.ENDC
+                )
+            )
+            fhs = self._open_outputs()
+            num_batches = -(-num_seqs // self.batch_size) if num_seqs else 0
+            for r1_b, r2_b, l1, l2 in tqdm(
+                self._paired_batches(r1_reads, r2_reads), total=num_batches
+            ):
+                r1_dict, r2_dict = separate_paired_reads(
+                    r1_b, l1, r2_b, l2, self.args.ensure
+                )
+                self._emit_paired(fhs, r1_dict, r2_dict, counts)
+            self._log_summary(num_seqs, counts)
+            self._close_outputs(fhs)
+        else:
+            reads = load_reads(*self.input)
+            num_seqs = len(reads)
+            self.logger.info(
+                "{}{}{}{} sequences loaded!".format(
+                    colors.BOLD, colors.OKCYAN, num_seqs, colors.ENDC
+                )
+            )
+            fhs = self._open_outputs()
+            num_batches = -(-num_seqs // self.batch_size) if num_seqs else 0
+            for batch, logits in tqdm(
+                self._single_batches(reads), total=num_batches
+            ):
+                buckets = separate_reads(batch, logits.argmax(1))
+                self._emit_single(fhs, buckets, counts)
+            self._log_summary(num_seqs, counts)
+            self._close_outputs(fhs)
+
+    # -- chunked low-memory mode (detect.py:326-523)
+
+    def run_with_chunks(self):
+        counts = {"norrna": 0, "rrna": 0, "unclf": 0}
+        num_read = 0
+        fhs = None
+        chunk_reads = self.batch_size * self.chunk_size
+        if self.is_paired:
+            for r1_chunk, r2_chunk in get_pairedread_chunks(
+                *self.input, chunk_size=chunk_reads
+            ):
+                if fhs is None:
+                    fhs = self._open_outputs()
+                n = min(len(r1_chunk), len(r2_chunk))
+                num_read += n
+                for r1_b, r2_b, l1, l2 in self._paired_batches(
+                    r1_chunk[:n], r2_chunk[:n]
+                ):
+                    r1_dict, r2_dict = separate_paired_reads(
+                        r1_b, l1, r2_b, l2, self.args.ensure
+                    )
+                    self._emit_paired(fhs, r1_dict, r2_dict, counts)
+                self.logger.info(
+                    "{}{}{} sequences finished!".format(
+                        colors.OKGREEN, num_read, colors.ENDC
+                    )
+                )
+        else:
+            for chunk in get_seq_chunks(*self.input, chunk_size=chunk_reads):
+                if fhs is None:
+                    fhs = self._open_outputs()
+                num_read += len(chunk)
+                for batch, logits in self._single_batches(chunk):
+                    buckets = separate_reads(batch, logits.argmax(1))
+                    self._emit_single(fhs, buckets, counts)
+                self.logger.info(
+                    "{}{}{} sequences finished!".format(
+                        colors.OKGREEN, num_read, colors.ENDC
+                    )
+                )
+        if fhs is None:
+            fhs = self._open_outputs()
+        self._log_summary(num_read, counts)
+        self._close_outputs(fhs)

@@ -1,0 +1,17 @@
+from setuptools import find_packages, setup
+
+setup(
+    name="ribodetector_tpu",
+    version="0.1.0",
+    description="TPU-native rRNA read-classification engine (JAX/XLA/Pallas)",
+    packages=find_packages(include=["ribodetector_tpu", "ribodetector_tpu.*"]),
+    package_data={"ribodetector_tpu": ["data/*.npz", "config.json"]},
+    python_requires=">=3.10",
+    install_requires=["jax", "numpy"],
+    extras_require={"convert": ["torch"], "train": ["optax"]},
+    entry_points={
+        "console_scripts": [
+            "ribodetector_tpu=ribodetector_tpu.cli:main",
+        ]
+    },
+)
