@@ -41,6 +41,7 @@ def classify_logits(
             lengths,
             semantics=semantics,
             compute_dtype=compute_dtype,
+            precision=precision,
         )
     if kernel == "scan":
         return bilstm_logits(

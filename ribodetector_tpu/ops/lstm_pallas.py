@@ -1,0 +1,259 @@
+"""Fused bidirectional LSTM scan as a single Pallas TPU kernel.
+
+This is the TPU-native replacement for the reference's delegated recurrence
+(cuDNN via torch.nn.LSTM, reference: ribodetector/model/model.py:16-22;
+onnxruntime LSTM, detect_cpu.py:88-96). Design notes:
+
+- **Transposed (feature-major) layout**: all state lives as [features, batch]
+  so every per-step op is a clean (sublane, lane) = (feature, read) tile;
+  the batch dimension rides the 128-wide lanes.
+
+- **One matmul per direction per step**: the input projection, bias add and
+  recurrent projection are fused into a single MXU dot
+      gates[512, B] = Wcat[512, 136] @ hcat[136, B]
+  where hcat rows 0:128 hold the hidden state and rows 128:136 hold the
+  one-hot of the current token (built in-kernel from int32 tokens with a
+  broadcasted-iota compare). Because exactly one one-hot row is hot for
+  every token (pad token included), the per-gate bias is folded into the
+  one-hot columns of Wcat -- token 4's column is the bare bias, reproducing
+  the reference's zero-row semantics (seq_encoder.py:11-18) exactly.
+
+- **Both directions advance in the same loop iteration** (forward at t,
+  backward at T-1-t), reading the same VMEM-resident token block, so the
+  kernel makes one pass over time for the whole bidirectional layer.
+
+- **Weights stay pinned in VMEM** across the batch grid (~0.6 MB; the whole
+  model is ~138 K params, SURVEY.md 3.5), and per-read state is captured at
+  the per-read gather index with a masked select, implementing both the
+  dense/ONNX gather (model_cpu.py:57-62) and packed/cuDNN semantics
+  (model.py:114-119) without materializing the [T, B, 256] output tensor.
+
+The kernel returns last_out [256, B]; the tiny Linear(256->2) head runs in
+XLA on top (models/bilstm.py weight layout).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ribodetector_tpu.models.bilstm import (
+    GATES,
+    HIDDEN,
+    BiLSTMParams,
+    dense_gather_index,
+)
+
+# hcat rows: 128 hidden + 8 one-hot slots (5 used: A C G T pad)
+OH = 8
+KDIM = HIDDEN + OH  # 136
+
+
+def _build_wcat(w_ih, w_hh, b, dtype):
+    """[512, 136] fused weight: recurrent cols 0:128, one-hot cols 128:136.
+
+    One-hot column k (k<4) = w_ih[k] + b; column 4 (pad token) = b alone;
+    columns 5..7 unused (their one-hot rows are always zero).
+    """
+    cols_tok = jnp.concatenate(
+        [w_ih + b[None, :], b[None, :], jnp.zeros((OH - 5, GATES), w_ih.dtype)],
+        axis=0,
+    )  # [8, 512]
+    return jnp.concatenate([w_hh, cols_tok], axis=0).T.astype(dtype)  # [512, 136]
+
+
+def _kernel(
+    tokens_ref,  # [T, TILE_B] int32 (time-major)
+    gather_ref,  # [1, TILE_B] int32: per-read capture index
+    length_ref,  # [1, TILE_B] int32: true lengths (packed masking)
+    wcat_f_ref,  # [512, 136]
+    wcat_b_ref,  # [512, 136]
+    out_ref,  # [256, TILE_B]: rows 0:128 fwd capture, 128:256 bwd capture
+    hcat_f,  # scratch [136, TILE_B]
+    hcat_b,  # scratch [136, TILE_B]
+    c_f,  # scratch [128, TILE_B] f32
+    c_b,  # scratch [128, TILE_B] f32
+    *,
+    T,
+    packed,
+    compute_dtype,
+    precision,
+):
+    tile_b = out_ref.shape[1]
+    cdt = compute_dtype
+
+    hcat_f[...] = jnp.zeros((KDIM, tile_b), cdt)
+    hcat_b[...] = jnp.zeros((KDIM, tile_b), cdt)
+    c_f[...] = jnp.zeros((HIDDEN, tile_b), cdt)
+    c_b[...] = jnp.zeros((HIDDEN, tile_b), cdt)
+    out_ref[...] = jnp.zeros((2 * HIDDEN, tile_b), jnp.float32)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (OH, tile_b), 0)
+    gather = gather_ref[...]  # [1, TILE_B]
+    if packed:
+        length = length_ref[...]  # [1, TILE_B]
+
+    def cell(wcat_ref, hcat, c_ref, tok_row):
+        """Advance one direction by one step; returns h_new [128, B] in cdt."""
+        hcat[HIDDEN:, :] = (row_iota == tok_row).astype(cdt)
+        # precision matters: DEFAULT runs the MXU at bf16 input precision,
+        # which breaks argmax parity with the fp32 reference; the parity
+        # configuration uses HIGHEST (fp32-accurate multi-pass)
+        gates = jnp.dot(
+            wcat_ref[...],
+            hcat[...],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ).astype(cdt)  # [512, TILE_B]; bf16 mode runs the VPU ops at 2x rate
+        if cdt == jnp.float32:
+            # bit-identical activations to the lax.scan reference path
+            sig, tanh = jax.nn.sigmoid, jnp.tanh
+        else:
+            # explicit-dtype activations: jax.nn.sigmoid on bf16 trips a
+            # Mosaic mixed-dtype broadcast verifier error as of jax 0.9
+            one = jnp.array(1, cdt)
+
+            def sig(x):
+                return one / (one + jnp.exp(-x))
+
+            def tanh(x):
+                return jnp.tanh(x)
+
+        i = sig(gates[0:HIDDEN, :])
+        f = sig(gates[HIDDEN : 2 * HIDDEN, :])
+        g = tanh(gates[2 * HIDDEN : 3 * HIDDEN, :])
+        o = sig(gates[3 * HIDDEN : 4 * HIDDEN, :])
+        c_new = f * c_ref[...] + i * g
+        h_new = o * tanh(c_new)
+        return h_new, c_new
+
+    def step(t, _):
+        pos_b = T - 1 - t
+        tok_f = tokens_ref[pl.ds(t, 1), :]  # [1, TILE_B]
+        tok_b = tokens_ref[pl.ds(pos_b, 1), :]
+
+        h_f_new, c_f_new = cell(wcat_f_ref, hcat_f, c_f, tok_f)
+        h_b_new, c_b_new = cell(wcat_b_ref, hcat_b, c_b, tok_b)
+
+        if packed:
+            # padding steps (pos >= L) leave the backward carry untouched so
+            # the backward direction starts exactly at the true last base
+            valid_b = pos_b < length  # [1, TILE_B]
+            h_b_new = jnp.where(valid_b, h_b_new, hcat_b[0:HIDDEN, :])
+            c_b_new = jnp.where(valid_b, c_b_new, c_b[...])
+
+        c_f[...] = c_f_new
+        c_b[...] = c_b_new
+        hcat_f[0:HIDDEN, :] = h_f_new
+        hcat_b[0:HIDDEN, :] = h_b_new
+
+        out_ref[0:HIDDEN, :] = jnp.where(
+            gather == t, h_f_new.astype(jnp.float32), out_ref[0:HIDDEN, :]
+        )
+        out_ref[HIDDEN:, :] = jnp.where(
+            gather == pos_b, h_b_new.astype(jnp.float32), out_ref[HIDDEN:, :]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+
+
+def _pick_tile(B):
+    for tile in (512, 256, 128):
+        if B % tile == 0:
+            return tile
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("semantics", "compute_dtype", "precision", "interpret"),
+)
+def bilstm_logits_pallas(
+    params: BiLSTMParams,
+    tokens,
+    lengths=None,
+    *,
+    semantics: str = "dense",
+    compute_dtype=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+):
+    """Pallas-kernel twin of models.bilstm.bilstm_logits (same contract)."""
+    packed = semantics == "packed"
+    if packed and lengths is None:
+        raise ValueError("packed semantics requires lengths")
+
+    B, T = tokens.shape
+    tokens = tokens.astype(jnp.int32)
+
+    tile = _pick_tile(B)
+    pad_b = 0
+    if tile is None:
+        tile = min(128, max(8, B))
+        pad_b = -B % tile
+        tokens = jnp.pad(tokens, ((0, pad_b), (0, 0)), constant_values=4)
+        if lengths is not None:
+            lengths = jnp.pad(lengths, (0, pad_b))
+    Bp = B + pad_b
+
+    if packed:
+        lengths = lengths.astype(jnp.int32)
+        gather = jnp.maximum(lengths - 1, 0)
+    else:
+        gather = dense_gather_index(tokens)
+        lengths = jnp.zeros((Bp,), jnp.int32)
+
+    wcat_f = _build_wcat(params.w_ih_f, params.w_hh_f, params.b_f, compute_dtype)
+    wcat_b = _build_wcat(params.w_ih_b, params.w_hh_b, params.b_b, compute_dtype)
+
+    grid = (Bp // tile,)
+    kernel = functools.partial(
+        _kernel, T=T, packed=packed, compute_dtype=compute_dtype, precision=precision
+    )
+    last_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * HIDDEN, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * HIDDEN, Bp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((KDIM, tile), compute_dtype),
+            pltpu.VMEM((KDIM, tile), compute_dtype),
+            pltpu.VMEM((HIDDEN, tile), compute_dtype),
+            pltpu.VMEM((HIDDEN, tile), compute_dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * Bp * T * GATES * KDIM,
+            bytes_accessed=Bp * T * 4 + 2 * GATES * KDIM * 4 + 2 * HIDDEN * Bp * 4,
+            transcendentals=2 * Bp * T * GATES,
+        ),
+        interpret=interpret,
+    )(
+        tokens.T,
+        gather.reshape(1, Bp),
+        lengths.reshape(1, Bp),
+        wcat_f,
+        wcat_b,
+    )
+
+    logits = (
+        jnp.dot(
+            last_out[:, :B].T,
+            params.w_out.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        + params.b_out
+    )
+    return logits
