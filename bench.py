@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Benchmark: device classify throughput on 100 bp paired-end reads.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/sec/chip", "vs_baseline": N}
+
+value       = fp32-parity Pallas classify throughput on the local TPU chip
+              (B=131072 tokens resident on device, RPC-amortized, median of
+              repeated timed runs; paired-end reads counted individually,
+              matching the reference's reads/s accounting).
+vs_baseline = value / (reference-equivalent torch-CPU throughput measured on
+              this same host: dense/ONNX forward semantics, batch 1024 --
+              the detect_cpu policy, reference detect_cpu.py:596,686-708 --
+              including its per-read Python one-hot encoding hot loop).
+              The reference GPU path needs CUDA, which this host lacks.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+B = 131072
+T = 100
+BASELINE_BATCH = 1024  # detect_cpu.py:596
+BASELINE_READS = 4096
+
+
+def measure_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from ribodetector_tpu.models import load_params
+    from ribodetector_tpu.ops.lstm_pallas import bilstm_logits_pallas
+
+    params = load_params("ribodetector_tpu/data/ribodetector_v1.npz")
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 5, (B, T)).astype(np.uint8))
+
+    def run():
+        return bilstm_logits_pallas(params, tokens, semantics="dense")
+
+    np.asarray(run())  # compile + warm
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(run())
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    return B / dt
+
+
+def measure_torch_cpu_baseline():
+    """Reference-equivalent CPU path: per-read dict one-hot + torch BiLSTM."""
+    import torch
+    import torch.nn as nn
+
+    torch.set_num_threads(max(1, __import__("os").cpu_count()))
+    state = torch.load(
+        "/root/reference/ribodetector/data/ribodetector_600k_variable_len70_101_epoch47.pth",
+        map_location="cpu",
+        weights_only=False,
+    )["state_dict"]
+    rnn = nn.LSTM(4, 128, 1, batch_first=True, bidirectional=True)
+    head = nn.Linear(256, 2)
+    rnn.load_state_dict({k[4:]: v for k, v in state.items() if k.startswith("rnn.")})
+    head.load_state_dict({k[4:]: v for k, v in state.items() if k.startswith("out.")})
+    rnn.eval()
+    head.eval()
+
+    BASE = {"A": (1, 0, 0, 0), "C": (0, 1, 0, 0), "G": (0, 0, 1, 0),
+            "T": (0, 0, 0, 1), "U": (0, 0, 0, 1)}
+    ZERO = (0, 0, 0, 0)
+    rng = np.random.default_rng(1)
+    reads = ["".join(rng.choice(list("ACGT"), size=T)) for _ in range(BASELINE_READS)]
+
+    def encode(read):  # encode_variable_len_read semantics (seq_encoder.py:130-145)
+        return [BASE.get(b, ZERO) for b in read[:T]]
+
+    t0 = time.time()
+    with torch.no_grad():
+        for start in range(0, len(reads), BASELINE_BATCH):
+            batch = reads[start : start + BASELINE_BATCH]
+            x = torch.tensor(
+                np.array([encode(r) for r in batch], dtype=np.float32)
+            )
+            r_out, _ = rnn(x)
+            g = x.size(1) - 1 - x.sum(2).flip(1).argmax(1)
+            head(r_out[torch.arange(x.size(0)), g, :]).argmax(1)
+    dt = time.time() - t0
+    return len(reads) / dt
+
+
+def main():
+    last_err = None
+    value = None
+    for attempt in range(3):
+        try:
+            value = measure_tpu()
+            break
+        except Exception as e:  # tunnel flakiness: retry
+            last_err = e
+            time.sleep(5)
+    if value is None:
+        print(json.dumps({"metric": "bench_error", "value": 0,
+                          "unit": "reads/sec/chip", "vs_baseline": 0,
+                          "error": str(last_err)[:200]}))
+        sys.exit(1)
+    try:
+        baseline = measure_torch_cpu_baseline()
+    except Exception:
+        baseline = None
+    print(json.dumps({
+        "metric": "classify throughput, 100bp PE, fp32-parity Pallas BiLSTM "
+                  "(baseline: reference-equivalent torch-CPU same host)",
+        "value": round(value, 1),
+        "unit": "reads/sec/chip",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Data-parallel trainer for the BiLSTM read classifier.
+
+The reference ships only vestigial training-template code (SURVEY.md C15:
+loss/metric stubs and a train/val split sampler; train.py itself is not in
+the repo). This module supplies a working TPU-native trainer so the model
+can be retrained or fine-tuned: optax optimizer, jitted train/eval steps
+shardable over a (dp, tp) mesh, and a synthetic motif dataset for tests and
+dry runs. Checkpoint metadata mirrors the reference's (.pth keys
+arch/epoch/batch_size/metrics, inspected in SURVEY.md 6).
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ribodetector_tpu.models.bilstm import BiLSTMParams, bilstm_logits, init_params
+from ribodetector_tpu.train.loss import cross_entropy_loss
+from ribodetector_tpu.train.metrics import accuracy, f1, mcc, precision, recall
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    semantics: str = "dense"
+    compute_dtype: str = "float32"
+
+
+def make_optimizer(cfg: TrainConfig):
+    if cfg.weight_decay:
+        return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    return optax.adam(cfg.learning_rate)
+
+
+def param_shardings(mesh: Mesh) -> BiLSTMParams:
+    """Tensor-parallel layout over the "tp" axis: the 512-wide gate dimension
+    is sharded, so each tp shard owns 512/tp gates (and the matching hidden
+    slice); everything else replicates. With tp=1 this is pure replication."""
+    if "tp" in mesh.axis_names:
+        gate = NamedSharding(mesh, P(None, "tp"))
+        vec = NamedSharding(mesh, P("tp"))
+    else:
+        gate = NamedSharding(mesh, P())
+        vec = NamedSharding(mesh, P())
+    rep = NamedSharding(mesh, P())
+    return BiLSTMParams(
+        w_ih_f=gate, w_hh_f=gate, b_f=vec,
+        w_ih_b=gate, w_hh_b=gate, b_b=vec,
+        w_out=rep, b_out=rep,
+    )
+
+
+def _loss_fn(params, tokens, lengths, labels, semantics, compute_dtype):
+    logits = bilstm_logits(
+        params,
+        tokens,
+        lengths,
+        semantics=semantics,
+        compute_dtype=compute_dtype,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return cross_entropy_loss(logits, labels), logits
+
+
+def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None):
+    """Jitted (params, opt_state, tokens, lengths, labels) -> updated state.
+
+    With a mesh, the batch shards over "dp" and params follow
+    param_shardings (tp tensor parallelism); XLA inserts the psum for the
+    gradient all-reduce and the tp collectives automatically.
+    """
+    compute_dtype = jnp.dtype(cfg.compute_dtype).type
+
+    def step(params, opt_state, tokens, lengths, labels):
+        (loss, logits), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            params, tokens, lengths, labels, cfg.semantics, compute_dtype
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    ps = param_shardings(mesh)
+    batch_axis = "dp" if "dp" in mesh.axis_names else mesh.axis_names[0]
+    data = NamedSharding(mesh, P(batch_axis))
+    data2 = NamedSharding(mesh, P(batch_axis, None))
+    # opt state mirrors param shapes; share param shardings where shaped alike
+    return jax.jit(
+        step,
+        in_shardings=(ps, _opt_shardings(optimizer, ps, mesh), data2, data, data),
+        out_shardings=(ps, _opt_shardings(optimizer, ps, mesh), NamedSharding(mesh, P())),
+        donate_argnums=(0, 1),
+    )
+
+
+def _dummy_params():
+    return init_params(jax.random.PRNGKey(0))
+
+
+def _opt_shardings(optimizer, param_sh, mesh):
+    """Optimizer-state shardings: param-shaped leaves inherit the param
+    sharding, scalars replicate."""
+    params = _dummy_params()
+    state = optimizer.init(params)
+    flat_ps, _ = jax.tree_util.tree_flatten(param_sh)
+    flat_p, _ = jax.tree_util.tree_flatten(params)
+    shape_to_sh = {}
+    for p, sh in zip(flat_p, flat_ps):
+        shape_to_sh.setdefault(p.shape, sh)
+
+    def pick(leaf):
+        if hasattr(leaf, "shape") and leaf.shape in shape_to_sh and leaf.ndim > 0:
+            return shape_to_sh[leaf.shape]
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(pick, state)
+
+
+def make_eval_step(cfg: TrainConfig):
+    compute_dtype = jnp.dtype(cfg.compute_dtype).type
+
+    @jax.jit
+    def step(params, tokens, lengths, labels):
+        loss, logits = _loss_fn(
+            params, tokens, lengths, labels, cfg.semantics, compute_dtype
+        )
+        pred = logits.argmax(-1)
+        return {
+            "loss": loss,
+            "acc": accuracy(pred, labels),
+            "recall": recall(pred, labels),
+            "precision": precision(pred, labels),
+            "F1": f1(pred, labels),
+            "mcc": mcc(pred, labels),
+        }
+
+    return step
+
+
+def synthetic_dataset(rng, n, max_len=100, motif="GGAACCTTGGAACC"):
+    """Labeled toy reads: label 1 iff the motif was planted. Lets tests prove
+    the trainer actually learns (reference offers no training data)."""
+    from ribodetector_tpu.encode import encode_batch
+
+    motif = motif[: max(1, max_len // 2)]
+    lmin = min(max(len(motif) + 2, max_len // 2), max_len)
+    seqs, labels = [], []
+    bases = np.array(list("ACGT"))
+    for i in range(n):
+        L = int(rng.integers(lmin, max_len + 1))
+        s = "".join(rng.choice(bases, size=L))
+        y = int(rng.integers(0, 2))
+        if y:
+            pos = int(rng.integers(0, L - len(motif)))
+            s = s[:pos] + motif + s[pos + len(motif):]
+        seqs.append(s)
+        labels.append(y)
+    tokens, lengths = encode_batch(seqs, max_len)
+    return tokens, lengths, np.asarray(labels, np.int32)
+
+
+def fit(
+    params: BiLSTMParams,
+    data,
+    cfg: TrainConfig | None = None,
+    *,
+    epochs=1,
+    batch_size=128,
+    mesh: Mesh | None = None,
+    eval_data=None,
+    log_fn=print,
+):
+    """Minimal in-memory training loop. data = (tokens, lengths, labels)."""
+    cfg = cfg or TrainConfig()
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(cfg, optimizer, mesh)
+    eval_step = make_eval_step(cfg)
+
+    tokens, lengths, labels = data
+    n = len(labels)
+    for epoch in range(epochs):
+        perm = np.random.default_rng(epoch).permutation(n)
+        losses = []
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = perm[start : start + batch_size]
+            params, opt_state, loss = train_step(
+                params, opt_state, tokens[idx], lengths[idx], labels[idx]
+            )
+            losses.append(float(loss))
+        msg = f"epoch {epoch}: loss {np.mean(losses):.4f}"
+        if eval_data is not None:
+            m = eval_step(params, *map(jnp.asarray, eval_data))
+            msg += " " + " ".join(f"{k} {float(v):.4f}" for k, v in m.items())
+        log_fn(msg)
+    return params

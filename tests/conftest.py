@@ -7,12 +7,18 @@ TPU hardware is not available in CI. Must run before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# the axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS; config.update
+# is the reliable way to pin tests to the virtual 8-device CPU backend
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

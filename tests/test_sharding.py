@@ -1,0 +1,62 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ribodetector_tpu.encode import encode_batch
+from ribodetector_tpu.models import load_params, bilstm_logits
+from ribodetector_tpu.parallel import make_data_mesh, make_dp_tp_mesh
+from ribodetector_tpu.parallel.sharded import (
+    host_chunk_assignment,
+    make_sharded_classifier,
+    merge_counts,
+)
+from tests.conftest import random_reads
+
+
+@pytest.fixture(scope="module")
+def params(ref_params_path):
+    return load_params(ref_params_path)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_classifier_matches_single_device(params, rng):
+    mesh = make_data_mesh(8)
+    seqs = random_reads(rng, 64, lmin=20, lmax=50)
+    tokens, lengths = encode_batch(seqs, 50)
+    infer = make_sharded_classifier(params, mesh)
+    got = np.asarray(infer(jnp.asarray(tokens), jnp.asarray(lengths)))
+    want = np.asarray(bilstm_logits(params, jnp.asarray(tokens), semantics="dense"))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_dp_tp_mesh_shapes():
+    mesh = make_dp_tp_mesh(8, tp=2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("dp", "tp")
+    # non-divisible tp falls back to 1
+    mesh = make_dp_tp_mesh(5, tp=2)
+    assert mesh.devices.shape == (5, 1)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_host_chunk_assignment_partitions():
+    owners = [
+        [c for c in range(12) if host_chunk_assignment(c, 3, h)] for h in range(3)
+    ]
+    assert sorted(sum(owners, [])) == list(range(12))
+    assert owners[0] == [0, 3, 6, 9]
+
+
+def test_merge_counts_single_host():
+    assert merge_counts({"rrna": 3, "norrna": 5}) == {"rrna": 3, "norrna": 5}
