@@ -68,6 +68,15 @@ none: give label based on the mean probability of read pair.
 
 def main(argv=None):
     args = build_arg_parser().parse_args(argv)
+    # honor an explicit JAX_PLATFORMS (e.g. =cpu) even when a TPU plugin's
+    # sitecustomize has overridden platform selection
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     if args.deviceid is not None:
         # restrict visible TPU chips, analogous to CUDA_VISIBLE_DEVICES
         # gating in the reference (detect.py:90-91)

@@ -59,20 +59,24 @@ def encode_batch(seqs, max_len, out_tokens=None):
     lengths = np.minimum(full_lens, max_len).astype(np.int32)
 
     # One C-speed join + one frombuffer, then a single vectorized gather.
-    buf = np.frombuffer("".join(seqs).encode("latin-1"), dtype=np.uint8)
+    # A max_len run of pad bytes is appended so out-of-range gathers read
+    # PAD-encoding bytes instead of needing a masked index build.
+    buf = np.frombuffer(
+        ("".join(seqs) + "\0" * max_len).encode("latin-1"), dtype=np.uint8
+    )
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(full_lens[:-1], out=starts[1:])
 
     col = np.arange(max_len, dtype=np.int64)
     valid = col[None, :] < lengths[:, None]
-    # clip gather indices for padded slots; they are overwritten by PAD_TOKEN
-    idx = np.where(valid, starts[:, None] + col[None, :], 0)
+    idx = starts[:, None] + col[None, :]
+    gathered = TOKEN_LUT[buf[idx]]
     if out_tokens is not None:
         tokens = out_tokens[:n]
-        np.take(TOKEN_LUT, buf[idx], out=tokens)
+        np.copyto(tokens, gathered, where=valid)
         tokens[~valid] = PAD_TOKEN
     else:
-        tokens = np.where(valid, TOKEN_LUT[buf[idx]], PAD_TOKEN)
+        tokens = np.where(valid, gathered, PAD_TOKEN)
     return tokens, lengths
 
 

@@ -15,3 +15,11 @@ def open_for_write(read_file: str):
     if read_file.endswith("gz"):
         return gzip.open(read_file, mode="wt", compresslevel=5)
     return open(read_file, "w")
+
+
+def open_for_write_bytes(read_file: str):
+    """Binary twin of open_for_write (same gzip level; used by the native
+    byte-gather writers -- output bytes are identical)."""
+    if read_file.endswith("gz"):
+        return gzip.open(read_file, mode="wb", compresslevel=5)
+    return open(read_file, "wb")

@@ -1,0 +1,135 @@
+"""ctypes loader for the native FASTQ parser/encoder (fastx.cpp).
+
+The shared object is built on first use with g++ (no Python headers needed:
+plain C ABI). If no compiler is available the engine transparently falls
+back to the pure-Python io/encode path -- behavior is identical, only slower
+(the native path exists because SURVEY.md 3.5 ranks host-side parse/encode
+as the #1 bottleneck at TPU throughputs).
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fastx.cpp")
+_SO = os.path.join(_DIR, "_fastx.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_error = None
+
+
+def _build():
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+def _load():
+    global _lib, _build_error
+    if _lib is not None or _build_error is not None:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                _build()
+            lib = ctypes.CDLL(_SO)
+            i64 = ctypes.c_int64
+            p = ctypes.POINTER
+            lib.rd_parse_fastq.restype = i64
+            lib.rd_parse_fastq.argtypes = [
+                ctypes.c_char_p, i64, i64, ctypes.c_int32,
+                p(ctypes.c_int64), p(ctypes.c_uint8), p(ctypes.c_int32),
+                p(ctypes.c_uint8), p(ctypes.c_int64),
+            ]
+            lib.rd_count_newlines.restype = i64
+            lib.rd_count_newlines.argtypes = [ctypes.c_char_p, i64]
+            lib.rd_gather_records.restype = i64
+            lib.rd_gather_records.argtypes = [
+                ctypes.c_char_p, p(ctypes.c_int64), p(ctypes.c_int64), i64,
+                ctypes.c_char_p,
+            ]
+            lib.rd_selection_size.restype = i64
+            lib.rd_selection_size.argtypes = [p(ctypes.c_int64), p(ctypes.c_int64), i64]
+            _lib = lib
+        except Exception as e:  # pragma: no cover - depends on toolchain
+            _build_error = e
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def parse_fastq_chunk(data: bytes, max_len: int):
+    """Parse+encode a decompressed FASTQ byte buffer in one native pass.
+
+    Returns (offsets [n,2] int64, tokens [n,max_len] uint8, lengths [n] int32,
+    clean [n] uint8, consumed int). `consumed` is the resume offset past the
+    last complete record (tail bytes belong to the next chunk).
+    """
+    lib = _load()
+    n = len(data)
+    max_records = data.count(b"\n") // 4 + 2
+    offsets = np.empty((max_records, 2), np.int64)
+    tokens = np.empty((max_records, max_len), np.uint8)
+    lengths = np.empty(max_records, np.int32)
+    clean = np.empty(max_records, np.uint8)
+    consumed = np.zeros(1, np.int64)
+    nrec = lib.rd_parse_fastq(
+        data, n, max_records, max_len,
+        _ptr(offsets, ctypes.c_int64), _ptr(tokens, ctypes.c_uint8),
+        _ptr(lengths, ctypes.c_int32), _ptr(clean, ctypes.c_uint8),
+        _ptr(consumed, ctypes.c_int64),
+    )
+    return (
+        offsets[:nrec],
+        tokens[:nrec],
+        lengths[:nrec],
+        clean[:nrec],
+        int(consumed[0]),
+    )
+
+
+def gather_records(data: bytes, offsets: np.ndarray, sel: np.ndarray, scratch=None):
+    """Concatenate the [start, end) slices of the selected records.
+
+    With `scratch` (a growable bytearray) the gather reuses its storage and
+    returns a memoryview into it -- valid until the next call with the same
+    scratch. Avoids a fresh allocation per write (this host's first-touch
+    page faults make per-call buffers expensive).
+    """
+    lib = _load()
+    sel = np.ascontiguousarray(sel, np.int64)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    total = int(
+        lib.rd_selection_size(
+            _ptr(offsets, ctypes.c_int64), _ptr(sel, ctypes.c_int64), len(sel)
+        )
+    )
+    if scratch is None:
+        out = ctypes.create_string_buffer(total)
+        lib.rd_gather_records(
+            data, _ptr(offsets, ctypes.c_int64), _ptr(sel, ctypes.c_int64),
+            len(sel), out,
+        )
+        return out.raw
+    if len(scratch) < total:
+        scratch.extend(b"\0" * (total - len(scratch)))
+    buf = (ctypes.c_char * len(scratch)).from_buffer(scratch)
+    lib.rd_gather_records(
+        data, _ptr(offsets, ctypes.c_int64), _ptr(sel, ctypes.c_int64),
+        len(sel), buf,
+    )
+    del buf  # release the exported buffer so the bytearray can resize later
+    return memoryview(scratch)[:total]

@@ -1,0 +1,159 @@
+// Native FASTQ chunk parser + token encoder (C ABI, loaded via ctypes).
+//
+// TPU-native replacement for the reference's host-side hot loops
+// (reference: ribodetector/data_loader/fastx_parser.py:15-37 state-machine
+// parser and seq_encoder.py:126-145 per-base dict one-hot -- SURVEY.md 3.5
+// ranks these the #1 host bottleneck). One pass over a decompressed byte
+// buffer yields, per record:
+//   - [start, end) byte offsets of the whole 4-line record (end is one past
+//     the final newline), so writers can emit verbatim output slices with
+//     zero per-read Python string work (quirk #11: headers/qualities pass
+//     through unchanged)
+//   - token row (A->0 C->1 G->2 T/U->3, other->4=pad; lowercase stays 4 to
+//     preserve the FASTQ-not-uppercased quirk #1) truncated/padded to
+//     max_len (truncation keeps the FIRST max_len bases, quirk #3)
+//   - true sequence length (clipped to max_len) for packed-semantics gather
+//   - a "clean" flag: 1 if every line ends with a bare \n and has no
+//     trailing whitespace, so buffer[start:end-1] equals the reference's
+//     '\n'.join of rstripped lines; dirty records fall back to Python.
+//
+// Build: g++ -O3 -shared -fPIC fastx.cpp -o _fastx.so (no Python headers).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+inline const char* find_nl(const char* p, const char* end) {
+    const void* q = memchr(p, '\n', static_cast<size_t>(end - p));
+    return q ? static_cast<const char*>(q) : nullptr;
+}
+
+inline bool ws(char c) { return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f'; }
+
+struct Lut {
+    uint8_t t[256];
+    Lut() {
+        memset(t, 4, sizeof(t));
+        t[static_cast<unsigned char>('A')] = 0;
+        t[static_cast<unsigned char>('C')] = 1;
+        t[static_cast<unsigned char>('G')] = 2;
+        t[static_cast<unsigned char>('T')] = 3;
+        t[static_cast<unsigned char>('U')] = 3;
+    }
+};
+const Lut LUT;
+
+}  // namespace
+
+extern "C" {
+
+// Parse up to max_records FASTQ records from buf[0..n).
+// Outputs (caller-allocated):
+//   offsets: int64[max_records * 2]  -- record [start, end) byte ranges
+//   tokens:  uint8[max_records * max_len] (pre-filled or not; fully written)
+//   lengths: int32[max_records]
+//   clean:   uint8[max_records]
+// Returns the number of complete records parsed; *consumed is set to the
+// byte offset just past the last complete record (resume point for
+// streaming). Malformed structure (EOF mid-record) simply stops there.
+int64_t rd_parse_fastq(
+    const char* buf, int64_t n, int64_t max_records, int32_t max_len,
+    int64_t* offsets, uint8_t* tokens, int32_t* lengths, uint8_t* clean,
+    int64_t* consumed)
+{
+    const char* base = buf;
+    const char* p = buf;
+    const char* end = buf + n;
+    int64_t rec = 0;
+    *consumed = 0;
+
+    while (rec < max_records && p < end) {
+        const char* rec_start = p;
+        bool rec_clean = true;
+        const char* line_start[4];
+        const char* line_end[4];  // exclusive, before newline / trailing ws
+        const char* q = p;
+        int li;
+        for (li = 0; li < 4; ++li) {
+            line_start[li] = q;
+            const char* nl = find_nl(q, end);
+            if (!nl) break;  // incomplete record at buffer end
+            const char* e = nl;
+            // rstrip: trailing whitespace (incl. \r) is not part of the line
+            while (e > q && ws(e[-1])) { --e; rec_clean = rec_clean && false; }
+            line_end[li] = e;
+            q = nl + 1;
+        }
+        if (li < 4) break;  // ran out of data mid-record
+
+        // skip blank separator lines before a record (parser robustness,
+        // mirrors io/fastx.py's blank-line skip at record boundaries)
+        if (line_end[0] == line_start[0]) {
+            p = line_start[1];
+            continue;
+        }
+
+        // encode the sequence line
+        const char* s = line_start[1];
+        const char* se = line_end[1];
+        int32_t L = static_cast<int32_t>(se - s);
+        if (L > max_len) L = max_len;
+        uint8_t* trow = tokens + rec * static_cast<int64_t>(max_len);
+        int32_t i = 0;
+        for (; i < L; ++i) trow[i] = LUT.t[static_cast<unsigned char>(s[i])];
+        for (; i < max_len; ++i) trow[i] = 4;
+
+        offsets[rec * 2] = rec_start - base;
+        offsets[rec * 2 + 1] = q - base;
+        lengths[rec] = L;
+        clean[rec] = rec_clean ? 1 : 0;
+        ++rec;
+        p = q;
+        *consumed = p - base;
+    }
+    return rec;
+}
+
+// Count newline characters in buf[0..n) (for sizing record arrays).
+int64_t rd_count_newlines(const char* buf, int64_t n) {
+    int64_t c = 0;
+    const char* p = buf;
+    const char* end = buf + n;
+    while (p < end) {
+        const char* q = static_cast<const char*>(memchr(p, '\n', end - p));
+        if (!q) break;
+        ++c;
+        p = q + 1;
+    }
+    return c;
+}
+
+// Gather selected record slices into one output buffer.
+// sel: int64 indices of records; offsets as produced by rd_parse_fastq.
+// Returns total bytes written (caller sizes dst via rd_selection_size).
+int64_t rd_gather_records(
+    const char* buf, const int64_t* offsets, const int64_t* sel,
+    int64_t nsel, char* dst)
+{
+    char* d = dst;
+    for (int64_t k = 0; k < nsel; ++k) {
+        int64_t r = sel[k];
+        int64_t s = offsets[r * 2];
+        int64_t e = offsets[r * 2 + 1];
+        memcpy(d, buf + s, static_cast<size_t>(e - s));
+        d += (e - s);
+    }
+    return d - dst;
+}
+
+int64_t rd_selection_size(const int64_t* offsets, const int64_t* sel, int64_t nsel) {
+    int64_t total = 0;
+    for (int64_t k = 0; k < nsel; ++k) {
+        int64_t r = sel[k];
+        total += offsets[r * 2 + 1] - offsets[r * 2];
+    }
+    return total;
+}
+
+}  // extern "C"

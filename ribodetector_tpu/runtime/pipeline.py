@@ -198,14 +198,46 @@ class Predictor:
             )
         )
 
-        if self.chunk_size is None:
+        if self._use_native():
+            from ribodetector_tpu.runtime.native_pipeline import NativeRunner
+
+            NativeRunner(self).run()
+        elif self.chunk_size is None:
             self.run()
         else:
             self.run_with_chunks()
 
+    def _use_native(self):
+        """Native FASTQ fast path: all inputs FASTQ and the C++ parser built.
+        runtime.native=false in the config forces the portable path."""
+        from ribodetector_tpu.io.format import get_seq_format
+
+        if self.config.get("runtime", {}).get("native", True) is False:
+            return False
+        try:
+            from ribodetector_tpu import native
+
+            if not native.available():
+                return False
+            return all(
+                get_seq_format(f).startswith("fq") for f in self.input
+            )
+        except Exception:
+            return False
+
+    def _log_progress(self, num_read):
+        self.logger.info(
+            "{}{}{} sequences finished!".format(
+                colors.OKGREEN, num_read, colors.ENDC
+            )
+        )
+
     # -- output file management
 
-    def _open_outputs(self):
+    def _open_outputs(self, binary=False):
+        from ribodetector_tpu.io.writer import open_for_write_bytes
+
+        opener = open_for_write_bytes if binary else open_for_write
         fhs = {}
         if self.rrna is not None:
             self.logger.info(
@@ -213,18 +245,18 @@ class Predictor:
                     colors.OKBLUE, ", ".join(self.rrna), colors.ENDC
                 )
             )
-            fhs["rrna"] = [open_for_write(f) for f in self.rrna]
+            fhs["rrna"] = [opener(f) for f in self.rrna]
         self.logger.info(
             "Writing output non-rRNA sequences into file: {}{}{}".format(
                 colors.OKBLUE, ", ".join(self.output), colors.ENDC
             )
         )
-        fhs["norrna"] = [open_for_write(f) for f in self.output]
+        fhs["norrna"] = [opener(f) for f in self.output]
         if self.is_paired and self.args.ensure == "both":
             # discordant pairs always land in gzipped .unclassified files
             # (quirk #5, detect.py:161-171)
             unclf = [f + ".unclassified.gz" for f in self.output]
-            fhs["unclf"] = [open_for_write(f) for f in unclf]
+            fhs["unclf"] = [opener(f) for f in unclf]
             self.logger.info(
                 "Writing unclassified sequences into file: {}{}{}".format(
                     colors.OKYELLOW, ", ".join(unclf), colors.ENDC

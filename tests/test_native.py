@@ -1,0 +1,115 @@
+"""Native C++ FASTQ parser/encoder vs the portable Python path."""
+
+import gzip
+import io
+
+import numpy as np
+import pytest
+
+from ribodetector_tpu import native
+from ribodetector_tpu.encode import encode_batch
+from ribodetector_tpu.io.fastx import seq_parser
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native extension unavailable (no g++)"
+)
+
+
+def make_fastq(seqs):
+    return "".join(
+        f"@read{i} x\n{s}\n+\n{'I' * len(s)}\n" for i, s in enumerate(seqs)
+    ).encode()
+
+
+def test_tokens_lengths_match_python(rng):
+    bases = np.array(list("ACGTUNacgt"))
+    seqs = ["".join(rng.choice(bases, size=rng.integers(5, 160))) for _ in range(200)]
+    data = make_fastq(seqs)
+    offsets, tokens, lengths, clean, consumed = native.parse_fastq_chunk(data, 100)
+    assert len(offsets) == 200 and consumed == len(data) and clean.all()
+    t_py, l_py = encode_batch(seqs, 100)
+    np.testing.assert_array_equal(tokens, t_py)
+    np.testing.assert_array_equal(lengths, l_py)
+
+
+def test_record_slices_are_verbatim():
+    data = make_fastq(["ACGT", "GGTT"])
+    offsets, *_ = native.parse_fastq_chunk(data, 10)
+    rec0 = data[offsets[0, 0] : offsets[0, 1]]
+    assert rec0 == b"@read0 x\nACGT\n+\nIIII\n"
+    recs = list(seq_parser(io.StringIO(data.decode()), "fastq"))
+    assert rec0[:-1].decode() == "\n".join(recs[0])
+
+
+def test_partial_record_at_buffer_end():
+    data = make_fastq(["ACGT", "GGTT"])
+    cut = data[:-3]  # truncate inside the last record
+    offsets, tokens, lengths, clean, consumed = native.parse_fastq_chunk(cut, 10)
+    assert len(offsets) == 1
+    assert consumed == offsets[0, 1]  # resume point after record 0
+
+
+def test_crlf_records_flagged_dirty():
+    data = b"@r0\r\nACGT\r\n+\r\nIIII\r\n@r1\nGGGG\n+\nIIII\n"
+    offsets, tokens, lengths, clean, consumed = native.parse_fastq_chunk(data, 10)
+    assert list(clean) == [0, 1]
+    # sequence still tokenized correctly despite \r
+    np.testing.assert_array_equal(tokens[0][:4], [0, 1, 2, 3])
+    assert lengths[0] == 4
+
+
+def test_gather_with_scratch_reuse():
+    data = make_fastq(["AAAA", "CCCC", "GGGG"])
+    offsets, *_ = native.parse_fastq_chunk(data, 10)
+    scratch = bytearray()
+    out1 = bytes(native.gather_records(data, offsets, np.array([0, 2]), scratch))
+    want = (
+        data[offsets[0, 0] : offsets[0, 1]] + data[offsets[2, 0] : offsets[2, 1]]
+    )
+    assert out1 == want
+    out2 = bytes(native.gather_records(data, offsets, np.array([1]), scratch))
+    assert out2 == data[offsets[1, 0] : offsets[1, 1]]
+
+
+def test_cli_native_path_crlf_fallback(tmp_path, torch_reference):
+    """End-to-end: a CRLF FASTQ goes through the dirty-record fallback and
+    still produces the reference partition with rstripped lines."""
+    from ribodetector_tpu.cli import main as cli_main
+    from ribodetector_tpu.encode import tokens_to_onehot_np
+
+    dense_logits, _ = torch_reference
+    seqs = ["ACGT" * 12, "GGCC" * 12, "TTAA" * 12, "GCGC" * 12]
+    raw = "".join(
+        f"@p{i}\r\n{s}\r\n+\r\n{'I' * len(s)}\r\n" for i, s in enumerate(seqs)
+    )
+    inp = tmp_path / "crlf.fq"
+    inp.write_text(raw)
+    out = tmp_path / "out.fq"
+    rr = tmp_path / "rr.fq"
+    cli_main(["-l", "48", "-i", str(inp), "-o", str(out), "-r", str(rr), "-m", "3"])
+    tokens, _ = encode_batch(seqs, 48)
+    labels = dense_logits(tokens_to_onehot_np(tokens)).argmax(1)
+    got_out = out.read_text()
+    assert "\r" not in got_out  # rstrip parity with the reference parser
+    headers = [l for i, l in enumerate(got_out.splitlines()) if i % 4 == 0]
+    assert headers == [f"@p{i}" for i, l in enumerate(labels) if l == 0]
+
+
+def test_cli_native_gz_roundtrip(tmp_path, torch_reference):
+    from ribodetector_tpu.cli import main as cli_main
+    from ribodetector_tpu.encode import tokens_to_onehot_np
+
+    dense_logits, _ = torch_reference
+    rng = np.random.default_rng(9)
+    seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(300)]
+    inp = tmp_path / "in.fq.gz"
+    with gzip.open(inp, "wt") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f"@g{i}\n{s}\n+\n{'I' * len(s)}\n")
+    out = tmp_path / "o.fq.gz"
+    cli_main(["-l", "60", "-i", str(inp), "-o", str(out), "-m", "3"])
+    tokens, _ = encode_batch(seqs, 60)
+    labels = dense_logits(tokens_to_onehot_np(tokens)).argmax(1)
+    with gzip.open(out, "rt") as fh:
+        headers = [l for i, l in enumerate(fh.read().splitlines()) if i % 4 == 0]
+    assert headers == [f"@g{i}" for i, l in enumerate(labels) if l == 0]

@@ -49,7 +49,10 @@ def test_metrics_hand_computed():
     assert abs(float(mcc(pred, true)) - want_mcc) < 1e-5
 
 
-def test_trainer_learns_planted_motif(rng):
+def test_trainer_learns_planted_motif():
+    # dedicated rng: the session fixture's state depends on test order and
+    # this test's pass/fail must not
+    rng = np.random.default_rng(7)
     max_len = 32
     tokens, lengths, labels = synthetic_dataset(rng, 512, max_len=max_len)
     params = init_params(jax.random.PRNGKey(0))
