@@ -55,6 +55,12 @@ none: give label based on the mean probability of read pair.
                           "When chunk_size=256, memory=16 it will load 256 * 16 * 1024 reads each chunk",
                       ))
     args.add_argument("--log", default=None, type=str, help="Log file name")
+    args.add_argument("--profile", action="store_true",
+                      help="Log per-stage wall-time breakdown (parse/encode/infer/write) at the end of the run")
+    args.add_argument("--trace-dir", default=None, type=str,
+                      help="Capture a jax.profiler trace of the run into this directory (TensorBoard/Perfetto)")
+    args.add_argument("--resume", action="store_true",
+                      help="Restartable streaming: track per-chunk completion in <output>.progress.json,\nwrite chunk part-files, and resume an interrupted run from the last completed chunk.\n(FASTQ native path)")
     args.add_argument("--semantics", default=None, type=str,
                       choices=["dense", "packed"],
                       help="Recurrence/gather semantics to reproduce: dense = reference CPU/ONNX path,\npacked = reference GPU/cuDNN PackedSequence path. (default: config value, dense)")

@@ -75,6 +75,34 @@ def init_params(key, hidden=HIDDEN, dtype=jnp.float32) -> BiLSTMParams:
     )
 
 
+def param_count(params: BiLSTMParams) -> int:
+    """Stored parameter count (136,706 for the reference arch: the torch
+    checkpoint's redundant b_ih/b_hh pairs are merged into one bias per
+    direction, see convert.py)."""
+    return sum(int(np.prod(np.shape(p))) for p in params)
+
+
+def reference_param_count(params: BiLSTMParams) -> int:
+    """Parameter count in the reference's torch layout (137,730; BASELINE.md
+    "Model size"), i.e. counting both of each direction's bias vectors."""
+    return param_count(params) + int(np.shape(params.b_f)[0]) + int(
+        np.shape(params.b_b)[0]
+    )
+
+
+def describe(params: BiLSTMParams) -> str:
+    """Human-readable summary, counterpart of BaseModel.__str__
+    (reference: ribodetector/base/base_model.py:16-25)."""
+    lines = [
+        f"  {name}: {tuple(np.shape(p))}" for name, p in params._asdict().items()
+    ]
+    return (
+        "BiLSTMParams(\n"
+        + "\n".join(lines)
+        + f"\n)\nTrainable parameters: {param_count(params)}"
+    )
+
+
 def save_params(path, params: BiLSTMParams, meta: dict | None = None):
     arrays = {k: np.asarray(v) for k, v in params._asdict().items()}
     if meta:

@@ -15,6 +15,8 @@ portable Python path with identical behavior.
 """
 
 import io
+import json
+import os
 import zlib
 
 import numpy as np
@@ -164,20 +166,36 @@ class NativeRunner:
 
     def _write_sel(self, fh, data, offsets, sel):
         if len(sel):
-            fh.write(native.gather_records(data, offsets, sel, self._scratch))
+            with self.p.timer.stage("write"):
+                fh.write(native.gather_records(data, offsets, sel, self._scratch))
 
     # -- single-end ----------------------------------------------------
 
     def run_single(self):
         p = self.p
+        resume = ResumeState.maybe(p) if getattr(p.args, "resume", False) else None
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
-        fhs = p._open_outputs(binary=True)
         bs = self.dbs
         stream = FastqChunkStream(p.input[0], p.len, self._records_per_chunk())
+        chunks = iter(stream)
+        if resume:
+            num_read, counts = resume.restore(p, [chunks])
+            fhs = None
+        else:
+            fhs = p._open_outputs(binary=True)
 
+        timer = p.timer
         pending = None  # (data, offsets, base, nb, logits_dev)
-        for data, offsets, tokens, lengths, clean, n in stream:
+        ci = resume.chunks_done if resume else 0
+        while True:
+            with timer.stage("parse"):
+                chunk = next(chunks, None)
+            if chunk is None:
+                break
+            data, offsets, tokens, lengths, clean, n = chunk
+            if resume:
+                fhs = resume.open_chunk(p, ci)
             chunk_records = (
                 records_from_chunk_bytes(data, offsets, n)
                 if not clean.all()
@@ -185,9 +203,10 @@ class NativeRunner:
             )
             for start in range(0, n, bs):
                 nb = min(bs, n - start)
-                logits_dev = self._infer_tokens(
-                    tokens[start : start + nb], lengths[start : start + nb]
-                )
+                with timer.stage("infer_dispatch"):
+                    logits_dev = self._infer_tokens(
+                        tokens[start : start + nb], lengths[start : start + nb]
+                    )
                 if pending is not None:
                     self._finish_single(fhs, counts, *pending)
                 # snapshot the offsets rows: the stream's offset array is
@@ -201,16 +220,27 @@ class NativeRunner:
                     nb,
                     logits_dev,
                 )
+                if resume:
+                    # chunk completion must cover all its batches
+                    self._finish_single(fhs, counts, *pending)
+                    pending = None
             num_read += n
+            if resume:
+                resume.complete_chunk(p, ci, fhs, num_read, counts)
+            ci += 1
             if p.chunk_size is not None:
                 p._log_progress(num_read)
         if pending is not None:
             self._finish_single(fhs, counts, *pending)
+        if resume:
+            resume.merge(p)
+        else:
+            p._close_outputs(fhs)
         p._log_summary(num_read, counts)
-        p._close_outputs(fhs)
 
     def _finish_single(self, fhs, counts, data, boffsets, chunk_records, start, nb, logits_dev):
-        logits = np.asarray(logits_dev)[:nb]
+        with self.p.timer.stage("infer_wait"):
+            logits = np.asarray(logits_dev)[:nb]
         labels = logits.argmax(1)
         sel0 = np.flatnonzero(labels == 0)
         sel1 = np.flatnonzero(labels == 1)
@@ -238,29 +268,45 @@ class NativeRunner:
 
     def run_paired(self):
         p = self.p
+        resume = ResumeState.maybe(p) if getattr(p.args, "resume", False) else None
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
-        fhs = p._open_outputs(binary=True)
         bs = self.dbs
         rpc = self._records_per_chunk()
         s1 = FastqChunkStream(p.input[0], p.len, rpc)
         s2 = FastqChunkStream(p.input[1], p.len, rpc)
+        it1, it2 = iter(s1), iter(s2)
+        if resume:
+            num_read, counts = resume.restore(p, [it1, it2])
+            fhs = None
+        else:
+            fhs = p._open_outputs(binary=True)
 
+        timer = p.timer
         pending = None
-        for c1, c2 in zip(iter(s1), iter(s2)):
+        ci = resume.chunks_done if resume else 0
+        while True:
+            with timer.stage("parse"):
+                c1 = next(it1, None)
+                c2 = next(it2, None)
+            if c1 is None or c2 is None:
+                break
             d1, o1, t1, l1, cl1, n1 = c1
             d2, o2, t2, l2, cl2, n2 = c2
             n = min(n1, n2)  # quirk #8: truncate to the shorter file
+            if resume:
+                fhs = resume.open_chunk(p, ci)
             recs1 = records_from_chunk_bytes(d1, o1, n1) if not cl1[:n].all() else None
             recs2 = records_from_chunk_bytes(d2, o2, n2) if not cl2[:n].all() else None
             for start in range(0, n, bs):
                 nb = min(bs, n - start)
-                logits_dev = self._infer_tokens(
-                    t1[start : start + nb],
-                    l1[start : start + nb],
-                    t2[start : start + nb],
-                    l2[start : start + nb],
-                )
+                with timer.stage("infer_dispatch"):
+                    logits_dev = self._infer_tokens(
+                        t1[start : start + nb],
+                        l1[start : start + nb],
+                        t2[start : start + nb],
+                        l2[start : start + nb],
+                    )
                 if pending is not None:
                     self._finish_paired(fhs, counts, *pending)
                 # snapshot offsets rows (stream arrays are reused; see
@@ -276,17 +322,27 @@ class NativeRunner:
                     nb,
                     logits_dev,
                 )
+                if resume:
+                    self._finish_paired(fhs, counts, *pending)
+                    pending = None
             num_read += n
+            if resume:
+                resume.complete_chunk(p, ci, fhs, num_read, counts)
+            ci += 1
             if p.chunk_size is not None:
                 p._log_progress(num_read)
         if pending is not None:
             self._finish_paired(fhs, counts, *pending)
+        if resume:
+            resume.merge(p)
+        else:
+            p._close_outputs(fhs)
         p._log_summary(num_read, counts)
-        p._close_outputs(fhs)
 
     def _finish_paired(self, fhs, counts, d1, bo1, recs1, d2, bo2, recs2, start, nb, logits_dev):
         p = self.p
-        logits = np.asarray(logits_dev)
+        with p.timer.stage("infer_wait"):
+            logits = np.asarray(logits_dev)
         lg1, lg2 = logits[:nb], logits[nb : 2 * nb]
         labels = paired_final_labels(lg1, lg2, p.args.ensure)
         sel = {lab: np.flatnonzero(labels == lab) for lab in (0, 1, -1)}
@@ -323,3 +379,128 @@ class NativeRunner:
             self.run_paired()
         else:
             self.run_single()
+
+
+class ResumeState:
+    """Per-chunk completion manifest enabling restartable streaming.
+
+    The reference loses ALL work on a crash mid-run (SURVEY.md 5 "failure
+    detection": none). With --resume, every chunk's output goes to part
+    files (`<output>.parts/chunk_NNNNNN[.gz]`) and a manifest
+    (`<output[0]>.progress.json`) records completed chunks atomically; an
+    interrupted run restarts after the last completed chunk, and a finished
+    run concatenates the parts (gzip members concatenate losslessly) into
+    the final outputs and removes the manifest.
+    """
+
+    MANIFEST_SUFFIX = ".progress.json"
+
+    @staticmethod
+    def maybe(p):
+        return ResumeState(p)
+
+    def __init__(self, p):
+        self.manifest_path = p.output[0] + self.MANIFEST_SUFFIX
+        self.chunks_done = 0
+
+    # -- layout --------------------------------------------------------
+
+    @staticmethod
+    def _groups(p):
+        groups = {"norrna": list(p.output)}
+        if p.rrna is not None:
+            groups["rrna"] = list(p.rrna)
+        if p.is_paired and p.args.ensure == "both":
+            groups["unclf"] = [f + ".unclassified.gz" for f in p.output]
+        return groups
+
+    @staticmethod
+    def _part_path(final_path, ci):
+        suffix = ".gz" if final_path.endswith("gz") else ""
+        return os.path.join(final_path + ".parts", f"chunk_{ci:06d}{suffix}")
+
+    def _config_key(self, p):
+        return {
+            "inputs": list(p.input),
+            "len": p.len,
+            "ensure": p.args.ensure,
+            "records_per_chunk": p.batch_size * p.chunk_size
+            if p.chunk_size is not None
+            else None,
+        }
+
+    # -- lifecycle -----------------------------------------------------
+
+    def restore(self, p, chunk_iters):
+        """Load the manifest (if any), skip completed chunks on every input
+        stream, and return (num_read, counts)."""
+        counts = {"norrna": 0, "rrna": 0, "unclf": 0}
+        num_read = 0
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as fh:
+                m = json.load(fh)
+            if m.get("config") != self._config_key(p):
+                raise RuntimeError(
+                    "--resume manifest {} was written by a different run "
+                    "configuration; remove it (and any .parts directories) "
+                    "to start fresh.".format(self.manifest_path)
+                )
+            self.chunks_done = int(m["chunks_done"])
+            num_read = int(m["records_done"])
+            counts.update(m["counts"])
+            p.logger.info(
+                "Resuming after {} completed chunks ({} records)".format(
+                    self.chunks_done, num_read
+                )
+            )
+            for it in chunk_iters:
+                for _ in range(self.chunks_done):
+                    next(it, None)
+        return num_read, counts
+
+    def open_chunk(self, p, ci):
+        from ribodetector_tpu.io.writer import open_for_write_bytes
+
+        fhs = {}
+        for group, files in self._groups(p).items():
+            handles = []
+            for f in files:
+                os.makedirs(f + ".parts", exist_ok=True)
+                handles.append(open_for_write_bytes(self._part_path(f, ci)))
+            fhs[group] = handles
+        return fhs
+
+    def complete_chunk(self, p, ci, fhs, num_read, counts):
+        for group in fhs.values():
+            for fh in group:
+                fh.close()
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "config": self._config_key(p),
+                    "chunks_done": ci + 1,
+                    "records_done": num_read,
+                    "counts": counts,
+                },
+                fh,
+            )
+        os.replace(tmp, self.manifest_path)
+        self.chunks_done = ci + 1
+
+    def merge(self, p):
+        """Concatenate part files into the final outputs and clean up."""
+        import shutil
+
+        for files in self._groups(p).values():
+            for f in files:
+                parts_dir = f + ".parts"
+                with open(f, "wb") as out:
+                    if os.path.isdir(parts_dir):
+                        for name in sorted(os.listdir(parts_dir)):
+                            with open(os.path.join(parts_dir, name), "rb") as part:
+                                shutil.copyfileobj(part, out, 8 << 20)
+                if os.path.isdir(parts_dir):
+                    shutil.rmtree(parts_dir)
+        if os.path.exists(self.manifest_path):
+            os.remove(self.manifest_path)

@@ -56,6 +56,9 @@ class Predictor:
         self.args = args
         self.logger = config.get_logger("predict", 1, getattr(args, "log", None))
         self.chunk_size = getattr(args, "chunk_size", None)
+        from ribodetector_tpu.runtime.profiling import StageTimer
+
+        self.timer = StageTimer(enabled=bool(getattr(args, "profile", False)))
 
     # ------------------------------------------------------------- model
 
@@ -198,14 +201,24 @@ class Predictor:
             )
         )
 
-        if self._use_native():
-            from ribodetector_tpu.runtime.native_pipeline import NativeRunner
+        from ribodetector_tpu.runtime.profiling import maybe_trace
 
-            NativeRunner(self).run()
-        elif self.chunk_size is None:
-            self.run()
-        else:
-            self.run_with_chunks()
+        with maybe_trace(getattr(self.args, "trace_dir", None)):
+            if self._use_native():
+                from ribodetector_tpu.runtime.native_pipeline import NativeRunner
+
+                NativeRunner(self).run()
+            else:
+                if getattr(self.args, "resume", False):
+                    self.logger.warning(
+                        "--resume is only supported on the native FASTQ path; running without it."
+                    )
+                if self.chunk_size is None:
+                    self.run()
+                else:
+                    self.run_with_chunks()
+        if self.timer.enabled:
+            self.logger.info(self.timer.summary())
 
     def _use_native(self):
         """Native FASTQ fast path: all inputs FASTQ and the C++ parser built.

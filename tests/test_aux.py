@@ -1,0 +1,104 @@
+"""Aux components: training-era encode helpers, datasets, tracking, resume."""
+
+import numpy as np
+import pytest
+
+from ribodetector_tpu.data_sets import PairedReadData, SeqData, train_val_split
+from ribodetector_tpu.encode import encode_batch
+from ribodetector_tpu.encode.windows import (
+    encode_seq_windows,
+    get_read_rc_with_maxlen,
+    reverse_complement_tokens,
+)
+from ribodetector_tpu.train.tracking import MetricTracker, inf_loop
+
+
+def test_get_read_rc_with_maxlen_long():
+    # center crop parity (seq_encoder.py:95-108)
+    seq = "A" * 10 + "CGTN" + "T" * 10  # len 24
+    read, rc = get_read_rc_with_maxlen(seq, max_len=10)
+    assert read == seq[7:17] == "AAACGTNTTT"
+    assert rc == "AAANACGTTT"  # reverse complement of the cropped window
+
+
+def test_get_read_rc_roundtrip():
+    read, rc = get_read_rc_with_maxlen("ACGTN", max_len=5)
+    assert read == "ACGTN"
+    assert rc == "NACGT"
+    # short read pads AFTER both read and rc (seq_encoder.py:103-106)
+    read, rc = get_read_rc_with_maxlen("ACG", max_len=5)
+    assert read == "ACGNN"
+    assert rc == "CGTNN"
+
+
+def test_reverse_complement_tokens():
+    tokens, lengths = encode_batch(["ACGT", "AC"], 6)
+    rc = reverse_complement_tokens(tokens, lengths)
+    t_acgt, _ = encode_batch(["ACGT"[::-1].translate(str.maketrans("ACGT", "TGCA"))], 6)
+    np.testing.assert_array_equal(rc[0], t_acgt[0])
+    t_gt, _ = encode_batch(["GT"], 6)
+    np.testing.assert_array_equal(rc[1], t_gt[0])
+
+
+def test_encode_seq_windows_parity():
+    # reference encode_seq_reads semantics (seq_encoder.py:148-162)
+    seq = "ACGT" * 30  # len 120
+    wins = encode_seq_windows(seq, step_size=50, max_len=100)
+    # i=0: full window; i=50: 70 remaining > 50 -> padded partial; stop
+    assert wins.shape == (2, 100)
+    full, _ = encode_batch([seq[:100]], 100)
+    np.testing.assert_array_equal(wins[0], full[0])
+    partial, _ = encode_batch([seq[50:]], 100)
+    np.testing.assert_array_equal(wins[1], partial[0])
+    # window shorter than half of max_len is dropped
+    wins = encode_seq_windows("ACGT" * 10, step_size=100, max_len=100)
+    assert wins.shape == (0, 100)
+
+
+def test_datasets():
+    reads = [("@a", "AC"), ("@b", "GG"), ("@c", "TT")]
+    ds = SeqData(reads)
+    assert len(ds) == 3 and ds[1] == ("@b", "GG")
+    assert list(ds.batches(2)) == [reads[:2], reads[2:]]
+    pd = PairedReadData((reads, reads))
+    assert pd[2] == (("@c", "TT"), ("@c", "TT"))
+
+
+def test_train_val_split():
+    tr, va = train_val_split(100, 0.2, seed=1)
+    assert len(va) == 20 and len(tr) == 80
+    assert sorted(np.concatenate([tr, va])) == list(range(100))
+    tr, va = train_val_split(100, 0, seed=1)
+    assert len(va) == 0 and len(tr) == 100
+    tr, va = train_val_split(100, 15, seed=1)
+    assert len(va) == 15
+
+
+def test_metric_tracker():
+    mt = MetricTracker("loss")
+    mt.update("loss", 2.0)
+    mt.update("loss", 4.0, n=3)
+    assert mt.avg("loss") == pytest.approx((2 + 12) / 4)
+    mt.reset()
+    assert mt.result() == {"loss": 0.0}
+
+
+def test_inf_loop():
+    it = inf_loop([1, 2])
+    assert [next(it) for _ in range(5)] == [1, 2, 1, 2, 1]
+
+
+def test_param_count_and_describe(ref_params_path):
+    from ribodetector_tpu.models import load_params
+    from ribodetector_tpu.models.bilstm import (
+        describe,
+        param_count,
+        reference_param_count,
+    )
+
+    params = load_params(ref_params_path)
+    # 137,730 params in torch layout (BASELINE.md "Model size"); ours merges
+    # the redundant bias pairs
+    assert reference_param_count(params) == 137730
+    assert param_count(params) == 136706
+    assert "136706" in describe(params)
