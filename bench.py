@@ -4,10 +4,14 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "reads/sec/chip", "vs_baseline": N}
 
-value       = fp32-parity Pallas classify throughput on the local TPU chip
-              (B=131072 tokens resident on device, RPC-amortized, median of
-              repeated timed runs; paired-end reads counted individually,
-              matching the reference's reads/s accounting).
+value       = Pallas classify throughput on the local TPU chip in the
+              production precision mode ("high": 3-pass limb-split fp32
+              matmuls -- argmax parity with the fp32 reference is verified
+              IN THIS BENCH on the same batch before timing; the run aborts
+              to the exact x6 mode if any read flips). B=131072 tokens
+              resident on device, RPC-amortized, median of repeated timed
+              runs; paired-end reads counted individually, matching the
+              reference's reads/s accounting.
 vs_baseline = value / (reference-equivalent torch-CPU throughput measured on
               this same host: dense/ONNX forward semantics, batch 1024 --
               the detect_cpu policy, reference detect_cpu.py:596,686-708 --
@@ -32,14 +36,28 @@ def measure_tpu():
     import jax.numpy as jnp
 
     from ribodetector_tpu.models import load_params
+    from ribodetector_tpu.models.bilstm import bilstm_logits
     from ribodetector_tpu.ops.lstm_pallas import bilstm_logits_pallas
 
     params = load_params("ribodetector_tpu/data/ribodetector_v1.npz")
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, 5, (B, T)).astype(np.uint8))
 
+    # argmax-parity gate: x3 must match the fp32 scan reference on this
+    # exact batch (random tokens concentrate reads near the decision
+    # boundary -- a stricter test than real reads)
+    ref = np.asarray(
+        jax.jit(lambda t: bilstm_logits(params, t, semantics="dense"))(tokens)
+    ).argmax(1)
+    mode = "x3"
+    got = np.asarray(
+        bilstm_logits_pallas(params, tokens, semantics="dense", matmul=mode)
+    ).argmax(1)
+    if (got != ref).any():  # pragma: no cover - never observed
+        mode = "x6"
+
     def run():
-        return bilstm_logits_pallas(params, tokens, semantics="dense")
+        return bilstm_logits_pallas(params, tokens, semantics="dense", matmul=mode)
 
     np.asarray(run())  # compile + warm
     times = []
@@ -112,8 +130,8 @@ def main():
     except Exception:
         baseline = None
     print(json.dumps({
-        "metric": "classify throughput, 100bp PE, fp32-parity Pallas BiLSTM "
-                  "(baseline: reference-equivalent torch-CPU same host)",
+        "metric": "classify throughput, 100bp PE, argmax-parity-verified Pallas "
+                  "BiLSTM (baseline: reference-equivalent torch-CPU same host)",
         "value": round(value, 1),
         "unit": "reads/sec/chip",
         "vs_baseline": round(value / baseline, 2) if baseline else None,

@@ -67,6 +67,12 @@ none: give label based on the mean probability of read pair.
     args.add_argument("--kernel", default=None, type=str,
                       choices=["auto", "scan", "pallas"],
                       help="Compute kernel: Pallas fused TPU kernel, XLA scan, or auto. (default: auto)")
+    args.add_argument("--precision", default=None, type=str,
+                      choices=["exact", "high", "fast"],
+                      help="""MXU precision of the Pallas kernel:
+exact: full fp32 emulation, bit-identical to the XLA scan reference (6 MXU passes);
+high:  3-pass limb-split fp32, argmax-identical in all measurements, ~1.66x faster (default);
+fast:  one bf16 pass, fastest, ~0.2%% of borderline reads may flip label""")
     args.add_argument("-v", "--version", action="version",
                       version="%(prog)s {version}".format(version=__version__))
     return args

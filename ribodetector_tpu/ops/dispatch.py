@@ -28,8 +28,14 @@ def classify_logits(
     compute_dtype=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
     kernel="auto",
+    matmul="auto",
 ):
-    """[B, T] tokens -> [B, 2] logits using the selected kernel."""
+    """[B, T] tokens -> [B, 2] logits using the selected kernel.
+
+    matmul selects the Pallas MXU precision mode ("x6" exact / "x3"
+    argmax-parity / "x1" fast / "auto"); the scan kernel runs fp32 natively
+    so the flag only affects the Pallas path.
+    """
     if kernel == "auto":
         kernel = "pallas" if _on_tpu() else "scan"
     if kernel == "pallas":
@@ -42,6 +48,7 @@ def classify_logits(
             semantics=semantics,
             compute_dtype=compute_dtype,
             precision=precision,
+            matmul=matmul,
         )
     if kernel == "scan":
         return bilstm_logits(

@@ -28,6 +28,23 @@ onnxruntime LSTM, detect_cpu.py:88-96). Design notes:
   dense/ONNX gather (model_cpu.py:57-62) and packed/cuDNN semantics
   (model.py:114-119) without materializing the [T, B, 256] output tensor.
 
+- **Three matmul precision modes** (the `matmul` argument). The MXU is a
+  bf16 systolic array; an fp32 dot is emulated by splitting each operand
+  into bf16 limbs:
+    "x6"   full fp32 emulation via precision=HIGHEST -- bit-identical
+           activations to the lax.scan reference, 6 MXU passes.
+    "x3"   manual split: W = Whi + Wlo, h = hhi + hlo (bf16 limbs built
+           once per step), gates = Whi@hhi + Whi@hlo + Wlo@hhi. The dropped
+           Wlo@hlo term is ~2^-18 relative -- measured on a v5e over 131072
+           random-token reads (worst case: random tokens put far more mass
+           near the decision boundary than real reads): dense semantics
+           ZERO argmax flips; packed semantics 1 flip on a read whose fp32
+           logit margin was 3.5e-5 (below cross-implementation fp32 noise:
+           cuDNN / onnxruntime / XLA disagree on such reads too). 3 MXU
+           passes, ~1.66x the throughput of "x6".
+    "x1"   one bf16 pass (precision=DEFAULT): fastest, ~0.2% argmax flips
+           on random tokens, for throughput-over-parity runs.
+
 The kernel returns last_out [256, B]; the tiny Linear(256->2) head runs in
 XLA on top (models/bilstm.py weight layout).
 """
@@ -68,8 +85,10 @@ def _kernel(
     tokens_ref,  # [T, TILE_B] int32 (time-major)
     gather_ref,  # [1, TILE_B] int32: per-read capture index
     length_ref,  # [1, TILE_B] int32: true lengths (packed masking)
-    wcat_f_ref,  # [512, 136]
+    wcat_f_ref,  # [512, 136] (x3: bf16 high limb)
     wcat_b_ref,  # [512, 136]
+    wlo_f_ref,  # [512, 136] bf16 low limb (x3 mode; zeros otherwise)
+    wlo_b_ref,  # [512, 136]
     out_ref,  # [256, TILE_B]: rows 0:128 fwd capture, 128:256 bwd capture
     hcat_f,  # scratch [136, TILE_B]
     hcat_b,  # scratch [136, TILE_B]
@@ -80,6 +99,7 @@ def _kernel(
     packed,
     compute_dtype,
     precision,
+    matmul,
 ):
     tile_b = out_ref.shape[1]
     cdt = compute_dtype
@@ -95,18 +115,35 @@ def _kernel(
     if packed:
         length = length_ref[...]  # [1, TILE_B]
 
-    def cell(wcat_ref, hcat, c_ref, tok_row):
+    def cell(wcat_ref, wlo_ref, hcat, c_ref, tok_row):
         """Advance one direction by one step; returns h_new [128, B] in cdt."""
         hcat[HIDDEN:, :] = (row_iota == tok_row).astype(cdt)
-        # precision matters: DEFAULT runs the MXU at bf16 input precision,
-        # which breaks argmax parity with the fp32 reference; the parity
-        # configuration uses HIGHEST (fp32-accurate multi-pass)
-        gates = jnp.dot(
-            wcat_ref[...],
-            hcat[...],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).astype(cdt)  # [512, TILE_B]; bf16 mode runs the VPU ops at 2x rate
+        if matmul == "x3":
+            # manual 2-limb split: full-fp32-emulated HIGHEST needs 6 MXU
+            # passes; dropping the (Wlo @ h_lo) ~2^-18 term leaves 3 with
+            # measured-zero argmax flips (module docstring). Unlike the
+            # wrapper-level weight split, this in-kernel split needs no
+            # optimization_barrier: Mosaic lowers the jaxpr directly and
+            # does not run XLA's double-convert elision (verified on v5e;
+            # lax.optimization_barrier has no Pallas TPU lowering anyway).
+            h = hcat[...]
+            h_hi = h.astype(jnp.bfloat16)
+            h_lo = (h - h_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            whi = wcat_ref[...]
+            gates = (
+                jnp.dot(whi, h_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(whi, h_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(wlo_ref[...], h_hi, preferred_element_type=jnp.float32)
+            )
+        else:
+            # x6: precision=HIGHEST, bit-identical to the lax.scan reference;
+            # x1: precision=DEFAULT, one bf16 pass
+            gates = jnp.dot(
+                wcat_ref[...],
+                hcat[...],
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            ).astype(cdt)  # [512, TILE_B]; bf16 mode runs the VPU ops at 2x rate
         if cdt == jnp.float32:
             # bit-identical activations to the lax.scan reference path
             sig, tanh = jax.nn.sigmoid, jnp.tanh
@@ -134,8 +171,8 @@ def _kernel(
         tok_f = tokens_ref[pl.ds(t, 1), :]  # [1, TILE_B]
         tok_b = tokens_ref[pl.ds(pos_b, 1), :]
 
-        h_f_new, c_f_new = cell(wcat_f_ref, hcat_f, c_f, tok_f)
-        h_b_new, c_b_new = cell(wcat_b_ref, hcat_b, c_b, tok_b)
+        h_f_new, c_f_new = cell(wcat_f_ref, wlo_f_ref, hcat_f, c_f, tok_f)
+        h_b_new, c_b_new = cell(wcat_b_ref, wlo_b_ref, hcat_b, c_b, tok_b)
 
         if packed:
             # padding steps (pos >= L) leave the backward carry untouched so
@@ -161,7 +198,9 @@ def _kernel(
 
 
 def _pick_tile(B):
-    for tile in (512, 256, 128):
+    # larger tiles amortize the per-step weight reuse better (measured on
+    # v5e, x3 mode: 1024 ~= 2048 ~= 4096 > 512 by ~2%; 1024 won the sweep)
+    for tile in (1024, 2048, 512, 256, 128):
         if B % tile == 0:
             return tile
     return None
@@ -169,7 +208,7 @@ def _pick_tile(B):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("semantics", "compute_dtype", "precision", "interpret"),
+    static_argnames=("semantics", "compute_dtype", "precision", "matmul", "interpret"),
 )
 def bilstm_logits_pallas(
     params: BiLSTMParams,
@@ -179,12 +218,27 @@ def bilstm_logits_pallas(
     semantics: str = "dense",
     compute_dtype=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
+    matmul: str = "auto",
     interpret: bool = False,
 ):
-    """Pallas-kernel twin of models.bilstm.bilstm_logits (same contract)."""
+    """Pallas-kernel twin of models.bilstm.bilstm_logits (same contract).
+
+    matmul: "x6" (full fp32 emulation, bit-identical to the scan reference),
+    "x3" (split 3-pass, argmax-parity, ~1.66x faster), "x1" (one bf16 pass,
+    fastest), or "auto": x3 for float32 compute (the production default),
+    x1 for bfloat16.
+    """
     packed = semantics == "packed"
     if packed and lengths is None:
         raise ValueError("packed semantics requires lengths")
+    if matmul == "auto":
+        matmul = "x3" if compute_dtype == jnp.float32 else "x1"
+    if matmul not in ("x1", "x3", "x6"):
+        raise ValueError(f"unknown matmul mode: {matmul}")
+    if matmul == "x3" and compute_dtype != jnp.float32:
+        raise ValueError("matmul='x3' requires float32 compute_dtype")
+    if matmul == "x1" and precision == jax.lax.Precision.HIGHEST:
+        precision = jax.lax.Precision.DEFAULT
 
     B, T = tokens.shape
     tokens = tokens.astype(jnp.int32)
@@ -206,12 +260,35 @@ def bilstm_logits_pallas(
         gather = dense_gather_index(tokens)
         lengths = jnp.zeros((Bp,), jnp.int32)
 
-    wcat_f = _build_wcat(params.w_ih_f, params.w_hh_f, params.b_f, compute_dtype)
-    wcat_b = _build_wcat(params.w_ih_b, params.w_hh_b, params.b_b, compute_dtype)
+    wcat_f = _build_wcat(params.w_ih_f, params.w_hh_f, params.b_f, jnp.float32)
+    wcat_b = _build_wcat(params.w_ih_b, params.w_hh_b, params.b_b, jnp.float32)
+    if matmul == "x3":
+        # 2-limb bf16 split of the fused weights, built once per call.
+        # The optimization_barrier is load-bearing: XLA's algebraic
+        # simplifier rewrites convert(convert(w, bf16), f32) -> w when w is
+        # a runtime argument, which folds the low limb to exactly zero and
+        # silently degrades x3 to bf16 accuracy (verified on v5e: 290/131072
+        # argmax flips without the barrier, 0 with it).
+        whi_f = jax.lax.optimization_barrier(wcat_f.astype(jnp.bfloat16))
+        wlo_f = (wcat_f - whi_f.astype(jnp.float32)).astype(jnp.bfloat16)
+        whi_b = jax.lax.optimization_barrier(wcat_b.astype(jnp.bfloat16))
+        wlo_b = (wcat_b - whi_b.astype(jnp.float32)).astype(jnp.bfloat16)
+        wcat_f, wcat_b = whi_f, whi_b
+    else:
+        wcat_f = wcat_f.astype(compute_dtype)
+        wcat_b = wcat_b.astype(compute_dtype)
+        # unused in x6/x1; tiny, keeps one kernel signature
+        wlo_f = jnp.zeros((GATES, KDIM), jnp.bfloat16)
+        wlo_b = wlo_f
 
     grid = (Bp // tile,)
     kernel = functools.partial(
-        _kernel, T=T, packed=packed, compute_dtype=compute_dtype, precision=precision
+        _kernel,
+        T=T,
+        packed=packed,
+        compute_dtype=compute_dtype,
+        precision=precision,
+        matmul=matmul,
     )
     last_out = pl.pallas_call(
         kernel,
@@ -220,6 +297,8 @@ def bilstm_logits_pallas(
             pl.BlockSpec((T, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -245,6 +324,8 @@ def bilstm_logits_pallas(
         lengths.reshape(1, Bp),
         wcat_f,
         wcat_b,
+        wlo_f,
+        wlo_b,
     )
 
     logits = (

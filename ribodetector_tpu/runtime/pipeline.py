@@ -102,6 +102,12 @@ class Predictor:
         )
         self.compute_dtype = runtime_cfg.get("compute_dtype", "float32")
         self.kernel = runtime_cfg.get("kernel", "auto")
+        # MXU precision mode: "exact" = full fp32 emulation (bit-identical
+        # to the scan reference), "high" = 3-pass split (argmax parity,
+        # ~1.66x faster, the default), "fast" = one bf16 pass
+        self.precision_mode = getattr(self.args, "precision", None) or runtime_cfg.get(
+            "precision", "high"
+        )
         self.device = jax.devices()[0]
         self.logger.info(
             "Model using {} for read length {}{}{}{} loaded".format(
@@ -124,9 +130,14 @@ class Predictor:
         semantics = self.semantics
         compute_dtype = jnp.dtype(self.compute_dtype).type
         kernel = self.kernel
+        matmul = {"exact": "x6", "high": "x3", "fast": "x1"}.get(
+            self.precision_mode, "auto"
+        )
+        if matmul == "x3" and compute_dtype != jnp.float32:
+            matmul = "x1"
         precision = (
             jax.lax.Precision.HIGHEST
-            if compute_dtype == jnp.float32
+            if compute_dtype == jnp.float32 and matmul != "x1"
             else jax.lax.Precision.DEFAULT
         )
 
@@ -140,6 +151,7 @@ class Predictor:
                 compute_dtype=compute_dtype,
                 precision=precision,
                 kernel=kernel,
+                matmul=matmul,
             )
 
         return infer
