@@ -48,6 +48,12 @@ def _load():
                 p(ctypes.c_int64), p(ctypes.c_uint8), p(ctypes.c_int32),
                 p(ctypes.c_uint8), p(ctypes.c_int64),
             ]
+            lib.rd_parse_fastq_b5.restype = i64
+            lib.rd_parse_fastq_b5.argtypes = [
+                ctypes.c_char_p, i64, i64, ctypes.c_int32, ctypes.c_int32,
+                p(ctypes.c_int64), p(ctypes.c_uint8), p(ctypes.c_int32),
+                p(ctypes.c_uint8), p(ctypes.c_int64),
+            ]
             lib.rd_count_newlines.restype = i64
             lib.rd_count_newlines.argtypes = [ctypes.c_char_p, i64]
             lib.rd_gather_records.restype = i64
@@ -101,8 +107,56 @@ def parse_fastq_chunk(data: bytes, max_len: int):
     )
 
 
-def gather_records(data: bytes, offsets: np.ndarray, sel: np.ndarray, scratch=None):
+def b5_packed_len(max_len: int) -> int:
+    """Bytes per base-5-packed token row (3 tokens per byte)."""
+    return (max_len + 2) // 3
+
+
+def parse_fastq_chunk_b5(data: bytes, max_len: int):
+    """Like parse_fastq_chunk but tokens come back base-5 packed
+    ([n, (max_len+2)//3] uint8, 3 tokens/byte, pad trio byte = 124)."""
+    lib = _load()
+    n = len(data)
+    max_records = data.count(b"\n") // 4 + 2
+    pl = b5_packed_len(max_len)
+    offsets = np.empty((max_records, 2), np.int64)
+    packed = np.empty((max_records, pl), np.uint8)
+    lengths = np.empty(max_records, np.int32)
+    clean = np.empty(max_records, np.uint8)
+    consumed = np.zeros(1, np.int64)
+    nrec = lib.rd_parse_fastq_b5(
+        data, n, max_records, max_len, pl,
+        _ptr(offsets, ctypes.c_int64), _ptr(packed, ctypes.c_uint8),
+        _ptr(lengths, ctypes.c_int32), _ptr(clean, ctypes.c_uint8),
+        _ptr(consumed, ctypes.c_int64),
+    )
+    return (
+        offsets[:nrec],
+        packed[:nrec],
+        lengths[:nrec],
+        clean[:nrec],
+        int(consumed[0]),
+    )
+
+
+def pack_b5(tokens: np.ndarray) -> np.ndarray:
+    """numpy twin of the native packer: [B, T] uint8 tokens -> [B, (T+2)//3]
+    uint8 base-5 packed (pads the tail trio with token 4)."""
+    B, T = tokens.shape
+    Tp = b5_packed_len(T) * 3
+    full = np.full((B, Tp), 4, np.uint8)
+    full[:, :T] = tokens
+    trios = full.reshape(B, -1, 3).astype(np.uint16)
+    return (trios[:, :, 0] + 5 * trios[:, :, 1] + 25 * trios[:, :, 2]).astype(
+        np.uint8
+    )
+
+
+def gather_records(data, offsets: np.ndarray, sel: np.ndarray, scratch=None):
     """Concatenate the [start, end) slices of the selected records.
+
+    `data` may be bytes or a bytearray (the chunk stream's reused parse
+    window -- gathered from in place, zero-copy).
 
     With `scratch` (a growable bytearray) the gather reuses its storage and
     returns a memoryview into it -- valid until the next call with the same
@@ -110,6 +164,8 @@ def gather_records(data: bytes, offsets: np.ndarray, sel: np.ndarray, scratch=No
     page faults make per-call buffers expensive).
     """
     lib = _load()
+    if isinstance(data, bytearray):
+        data = (ctypes.c_char * len(data)).from_buffer(data)
     sel = np.ascontiguousarray(sel, np.int64)
     offsets = np.ascontiguousarray(offsets, np.int64)
     total = int(

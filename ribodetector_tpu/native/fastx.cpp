@@ -115,6 +115,78 @@ int64_t rd_parse_fastq(
     return rec;
 }
 
+// Variant of rd_parse_fastq emitting base-5 PACKED tokens: 3 tokens per
+// byte, b = t0 + 5*t1 + 25*t2 (all-pad byte = 124; bytes never exceed 124).
+// Packing here is ~free (the encoder already touches every base) and cuts
+// the host->TPU transfer 3x -- the dominant per-batch cost over the
+// tunneled interconnect. The device unpacks with two integer divmods
+// (ops/dispatch.py unpack_b5_tokens).
+// packed: uint8[max_records * packed_len], packed_len = (max_len + 2) / 3.
+int64_t rd_parse_fastq_b5(
+    const char* buf, int64_t n, int64_t max_records, int32_t max_len,
+    int32_t packed_len,
+    int64_t* offsets, uint8_t* packed, int32_t* lengths, uint8_t* clean,
+    int64_t* consumed)
+{
+    const char* base = buf;
+    const char* p = buf;
+    const char* end = buf + n;
+    int64_t rec = 0;
+    *consumed = 0;
+
+    while (rec < max_records && p < end) {
+        const char* rec_start = p;
+        bool rec_clean = true;
+        const char* line_start[4];
+        const char* line_end[4];
+        const char* q = p;
+        int li;
+        for (li = 0; li < 4; ++li) {
+            line_start[li] = q;
+            const char* nl = find_nl(q, end);
+            if (!nl) break;
+            const char* e = nl;
+            while (e > q && ws(e[-1])) { --e; rec_clean = rec_clean && false; }
+            line_end[li] = e;
+            q = nl + 1;
+        }
+        if (li < 4) break;
+
+        if (line_end[0] == line_start[0]) {
+            p = line_start[1];
+            continue;
+        }
+
+        const char* s = line_start[1];
+        const char* se = line_end[1];
+        int32_t L = static_cast<int32_t>(se - s);
+        if (L > max_len) L = max_len;
+        uint8_t* prow = packed + rec * static_cast<int64_t>(packed_len);
+        int32_t i = 0, j = 0;
+        for (; i + 3 <= L; i += 3, ++j) {
+            prow[j] = static_cast<uint8_t>(
+                LUT.t[static_cast<unsigned char>(s[i])]
+                + 5 * LUT.t[static_cast<unsigned char>(s[i + 1])]
+                + 25 * LUT.t[static_cast<unsigned char>(s[i + 2])]);
+        }
+        if (i < L) {  // partial trailing trio: missing slots are pad (4)
+            uint8_t t0 = LUT.t[static_cast<unsigned char>(s[i])];
+            uint8_t t1 = (i + 1 < L) ? LUT.t[static_cast<unsigned char>(s[i + 1])] : 4;
+            prow[j++] = static_cast<uint8_t>(t0 + 5 * t1 + 25 * 4);
+        }
+        for (; j < packed_len; ++j) prow[j] = 124;  // 4 + 5*4 + 25*4
+
+        offsets[rec * 2] = rec_start - base;
+        offsets[rec * 2 + 1] = q - base;
+        lengths[rec] = L;
+        clean[rec] = rec_clean ? 1 : 0;
+        ++rec;
+        p = q;
+        *consumed = p - base;
+    }
+    return rec;
+}
+
 // Count newline characters in buf[0..n) (for sizing record arrays).
 int64_t rd_count_newlines(const char* buf, int64_t n) {
     int64_t c = 0;

@@ -19,6 +19,22 @@ def _on_tpu() -> bool:
         return False
 
 
+def unpack_b5_tokens(packed, max_len):
+    """Device-side inverse of native.pack_b5: [B, (T+2)//3] uint8 base-5
+    packed bytes -> [B, max_len] int32 tokens.
+
+    Token batches cross the host->device link 3x smaller this way; two
+    integer divmods on device are ~free next to the LSTM scan.
+    """
+    p32 = packed.astype(jnp.int32)
+    t0 = p32 % 5
+    t1 = (p32 // 5) % 5
+    t2 = p32 // 25
+    return jnp.stack([t0, t1, t2], axis=-1).reshape(packed.shape[0], -1)[
+        :, :max_len
+    ]
+
+
 def classify_logits(
     params,
     tokens,

@@ -7,108 +7,303 @@ padded staging buffers, and output files are written as verbatim byte-range
 gathers of the input buffer -- no Python string is ever created per read
 (quirk #11 holds trivially: records pass through byte-identical).
 
+Pipeline shape (measured on the v5e host, 2M x 100bp reads):
+
+- tokens cross the host->device link base-5 PACKED (3 tokens/byte,
+  native/fastx.cpp rd_parse_fastq_b5, unpacked on device) -- the tunneled
+  interconnect moves ~75 MB/s when the device actually has to wait for the
+  bytes, so the 13 MB/batch unpacked matrix was costing more than the
+  BiLSTM kernel itself; packed it is 4.4 MB and fully hides behind the
+  previous batch's compute.
+- transfers are double-buffered: the device_put of batch i+1 is issued
+  while batch i computes, from an alternating pair of staging buffers so
+  an in-flight transfer's source is never overwritten.
+- parse runs in a prefetch thread and file writes in a writer thread
+  (gzip/zlib and file IO release the GIL), so decompress/parse of chunk
+  i+1 and compressed writes of batch i-1 overlap the device.
+
 All large buffers are allocated once and reused: this host's first-touch
-page faults cost ~0.5 ms/page (measured), so per-batch np.empty/np.full of
-tens of MB would dominate the run. FASTA (and FASTQ with CRLF/trailing
-whitespace, flagged per-record by the native parser) falls back to the
-portable Python path with identical behavior.
+page faults are slow, so per-batch np.empty/np.full of tens of MB would
+dominate the run. FASTA (and FASTQ with CRLF/trailing whitespace, flagged
+per-record by the native parser) falls back to the portable Python path
+with identical behavior.
 """
 
 import io
 import json
 import os
+import queue
+import threading
 import zlib
 
 import numpy as np
 
 from ribodetector_tpu import native
-from ribodetector_tpu.encode import PAD_TOKEN
 from ribodetector_tpu.io.fastx import seq_parser
 from ribodetector_tpu.io.format import get_seq_format
-from ribodetector_tpu.runtime.ensure import paired_final_labels
 
 _BLOCK = 4 << 20
+_PAD_BYTE = 124  # base-5 packed all-pad trio: 4 + 5*4 + 25*4
 
 
 class FastqChunkStream:
-    """Streams (data, offsets, tokens, lengths, clean, n) chunks of up to
-    `records_per_chunk` FASTQ records from a plain or gzipped file."""
+    """Streams (data, offsets, ptokens, lengths, clean, n) chunks of up to
+    `records_per_chunk` FASTQ records from a plain or gzipped file; token
+    rows are base-5 packed ([n, (max_len+2)//3] uint8), `data` is a reused
+    window bytearray the offsets index into.
 
-    def __init__(self, path, max_len, records_per_chunk):
+    Zero-churn design: bytes land ONCE in a fixed window buffer (readinto
+    for plain files; zlib max_length decompression for gzip) and the native
+    parser runs in place over it -- no intermediate bytes objects, joins, or
+    newline counting, and the GIL is released for nearly all of the work so
+    a prefetch thread overlaps cleanly with device dispatch. Windows and
+    output arrays rotate through a slot pool sized so a prefetching consumer
+    can hold two chunks (current + in-flight batch) while the next parses.
+
+    Multi-member gzip (pigz/bgzf, or our own resume-merged parts) is handled
+    by restarting the decompressor at each member boundary -- Python's gzip
+    module does the same; a single zlib.decompressobj would silently drop
+    everything after the first member.
+    """
+
+    SLOTS = 4
+
+    def __init__(self, path, max_len, records_per_chunk, window_bytes=None):
         self.max_len = max_len
         self.cap = records_per_chunk
         self._fh = open(path, "rb")
-        self._dec = (
-            zlib.decompressobj(32 + zlib.MAX_WBITS)
-            if get_seq_format(path).endswith("gz")
-            else None
-        )
-        self._buf = bytearray()
-        self._nl = 0  # newlines currently in _buf
+        self._gz = get_seq_format(path).endswith("gz")
+        self._dec = zlib.decompressobj(32 + zlib.MAX_WBITS) if self._gz else None
+        self._carry = b""  # compressed bytes awaiting decompression
+        self._tail = b""  # decompressed partial record from the last window
         self._eof = False
-        # reusable, pre-touched output arrays
+        self.win_bytes = window_bytes or min(
+            max(records_per_chunk * 280, 8 << 20), 256 << 20
+        )
+        # adaptive fill target keeps the leftover tail small: aim slightly
+        # past cap records at the running mean record size
+        self._avg_rec = 280.0
         cap = self.cap + 2
-        self._offsets = np.zeros((cap, 2), np.int64)
-        self._tokens = np.zeros((cap, max_len), np.uint8)
-        self._lengths = np.zeros(cap, np.int32)
-        self._clean = np.zeros(cap, np.uint8)
+        pl = native.b5_packed_len(max_len)
+        self._slots = [
+            (
+                bytearray(self.win_bytes),
+                np.zeros((cap, 2), np.int64),
+                np.zeros((cap, pl), np.uint8),
+                np.zeros(cap, np.int32),
+                np.zeros(cap, np.uint8),
+            )
+            for _ in range(self.SLOTS)
+        ]
+        self._si = 0
 
-    def _fill(self):
-        while not self._eof and self._nl < 4 * self.cap:
-            raw = self._fh.read(_BLOCK)
-            if not raw:
-                if self._dec is not None:
-                    tail = self._dec.flush()
-                    if tail:
-                        self._buf += tail
-                        self._nl += tail.count(b"\n")
+    def _fill_plain(self, mv, pos, target):
+        while pos < target and not self._eof:
+            nread = self._fh.readinto(mv[pos:target])
+            if not nread:
                 self._eof = True
                 self._fh.close()
                 break
-            block = self._dec.decompress(raw) if self._dec is not None else raw
-            if block:
-                self._buf += block
-                self._nl += block.count(b"\n")
+            pos += nread
+        return pos
+
+    def _fill_gz(self, mv, pos, target):
+        while pos < target and (self._carry or not self._eof):
+            if self._carry:
+                raw, self._carry = self._carry, b""
+            else:
+                raw = self._fh.read(_BLOCK)
+                if not raw:
+                    self._eof = True
+                    self._fh.close()
+                    out = self._dec.flush()
+                    mv[pos : pos + len(out)] = out
+                    pos += len(out)
+                    break
+            out = self._dec.decompress(raw, target - pos)
+            mv[pos : pos + len(out)] = out
+            pos += len(out)
+            if self._dec.unconsumed_tail:
+                self._carry = self._dec.unconsumed_tail
+            elif self._dec.eof:
+                # gzip member boundary: restart for the next member
+                self._carry = self._dec.unused_data
+                self._dec = zlib.decompressobj(32 + zlib.MAX_WBITS)
+                if not self._carry and self._eof:
+                    break
+        return pos
 
     def __iter__(self):
         lib = native._load()
         import ctypes
 
+        pl = native.b5_packed_len(self.max_len)
         while True:
-            self._fill()
-            if not self._buf:
+            win, offsets, ptokens, lengths, clean = self._slots[self._si]
+            self._si = (self._si + 1) % self.SLOTS
+            mv = memoryview(win)
+            pos = len(self._tail)
+            mv[:pos] = self._tail
+            target = min(
+                self.win_bytes, pos + int(self.cap * self._avg_rec * 1.05) + 4096
+            )
+            pos = (
+                self._fill_gz(mv, pos, target)
+                if self._gz
+                else self._fill_plain(mv, pos, target)
+            )
+            del mv
+            if pos == 0:
                 return
-            data = bytes(self._buf)
             consumed = np.zeros(1, np.int64)
-            n = lib.rd_parse_fastq(
-                data,
-                len(data),
+            buf = (ctypes.c_char * pos).from_buffer(win)
+            n = lib.rd_parse_fastq_b5(
+                buf,
+                pos,
                 self.cap,
                 self.max_len,
-                native._ptr(self._offsets, ctypes.c_int64),
-                native._ptr(self._tokens, ctypes.c_uint8),
-                native._ptr(self._lengths, ctypes.c_int32),
-                native._ptr(self._clean, ctypes.c_uint8),
+                pl,
+                native._ptr(offsets, ctypes.c_int64),
+                native._ptr(ptokens, ctypes.c_uint8),
+                native._ptr(lengths, ctypes.c_int32),
+                native._ptr(clean, ctypes.c_uint8),
                 native._ptr(consumed, ctypes.c_int64),
             )
+            del buf  # release the buffer export
             used = int(consumed[0])
             if n == 0:
-                if self._eof:
+                if self._eof and not self._carry:
                     return  # trailing junk without a complete record
-                # shouldn't happen (cap >= 1 and _fill ensures data), guard:
-                return
-            self._nl -= data.count(b"\n", 0, used)
-            del self._buf[:used]
+                if pos >= self.win_bytes:
+                    raise RuntimeError(
+                        "FASTQ record larger than the {} MB parse window".format(
+                            self.win_bytes >> 20
+                        )
+                    )
+                # window underfilled (adaptive target too small for these
+                # record sizes): retry with a bigger target
+                self._avg_rec = min(self._avg_rec * 2, float(self.win_bytes))
+                self._tail = bytes(win[:pos])
+                continue
+            self._avg_rec = 0.5 * self._avg_rec + 0.5 * (used / n)
+            self._tail = bytes(win[used:pos])
             yield (
-                data,
-                self._offsets[:n],
-                self._tokens[:n],
-                self._lengths[:n],
-                self._clean[:n],
+                win,
+                offsets[:n],
+                ptokens[:n],
+                lengths[:n],
+                clean[:n],
                 n,
             )
-            if self._eof and not self._buf:
+            if self._eof and not self._carry and not self._tail:
                 return
+
+
+class _Prefetcher:
+    """Pulls items off an iterator in a daemon thread (bounded queue) so
+    decompress+parse of the next chunk overlaps device compute and writes.
+    Safe with FastqChunkStream's rotating slots: queue depth 1 keeps at most
+    SLOTS-1 chunks alive outside the producer."""
+
+    _DONE = object()
+
+    def __init__(self, it, depth=1):
+        self._q = queue.Queue(maxsize=depth)
+        self._exc = None
+        self._t = threading.Thread(target=self._run, args=(it,), daemon=True)
+        self._t.start()
+
+    def _run(self, it):
+        try:
+            for item in it:
+                self._q.put(item)
+        except BaseException as e:  # propagated to the consumer
+            self._exc = e
+        finally:
+            self._q.put(self._DONE)
+
+    def get(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._exc is not None:
+                raise self._exc
+            return None
+        return item
+
+
+class _Writer:
+    """Single writer thread: preserves per-file write order, hides gzip
+    deflate + file IO behind device compute.
+
+    Gather payloads are passed ZERO-COPY as memoryviews into pooled scratch
+    bytearrays: acquire_scratch() blocks until a pool buffer is free (natural
+    backpressure), and the writer returns the buffer to the pool after the
+    write -- no per-payload bytes() copy holding the GIL."""
+
+    _DONE = object()
+    POOL = 4
+
+    def __init__(self):
+        self._q = queue.Queue()
+        self._free = queue.Queue()
+        for _ in range(self.POOL):
+            self._free.put(bytearray())
+        self._exc = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                return
+            fh, payload, scratch = item
+            try:
+                # after a write error, keep draining (and signalling
+                # barriers) so producers unblock and see the stored error
+                if self._exc is None or not payload:
+                    fh.write(payload)
+            except BaseException as e:  # pragma: no cover - disk errors
+                self._exc = e
+            finally:
+                if scratch is not None:
+                    # drop the view before pooling: a live memoryview would
+                    # block the bytearray's next resize (BufferError)
+                    if isinstance(payload, memoryview):
+                        payload.release()
+                    self._free.put(scratch)
+
+    def acquire_scratch(self):
+        """Take a pooled bytearray; hand it back via write(..., scratch=)."""
+        if self._exc is not None:
+            raise self._exc
+        return self._free.get()
+
+    def write(self, fh, payload, scratch=None):
+        if self._exc is not None:
+            if scratch is not None:
+                self._free.put(scratch)
+            raise self._exc
+        self._q.put((fh, payload, scratch))
+
+    def barrier(self):
+        """Block until everything enqueued so far has been written."""
+        done = threading.Event()
+
+        class _Signal:
+            def write(self, _):
+                done.set()
+
+        self._q.put((_Signal(), b"", None))
+        done.wait()
+        if self._exc is not None:
+            raise self._exc
+
+    def close(self):
+        self._q.put(self._DONE)
+        self._t.join()
+        if self._exc is not None:
+            raise self._exc
 
 
 def records_from_chunk_bytes(data, offsets, n):
@@ -127,47 +322,81 @@ class NativeRunner:
     def __init__(self, predictor):
         self.p = predictor
         # Device batch: the reference's -m formula (quirk #9) guards GPU RAM
-        # on its hardware; on TPU a [131072, len] uint8 token batch is ~13 MB
-        # of HBM, so the native path lifts the device batch to cut per-call
+        # on its hardware; on TPU a [131072, len] token batch is ~13 MB of
+        # HBM, so the native path lifts the device batch to cut per-call
         # dispatch overhead. batch_size still sizes chunks (--chunk_size
         # parity) and bounds host memory via the chunk stream.
         bs = self.dbs = max(predictor.batch_size, min(131072, self._records_per_chunk()))
         rows = 2 * bs if predictor.is_paired else bs
+        pl = native.b5_packed_len(predictor.len)
+        # jitted step taking base-5 packed tokens (3x smaller transfer) and
+        # emitting final int32 labels (ensure reconciliation on device, 8x
+        # smaller device->host result)
+        emit = (
+            ("pair_labels", predictor.args.ensure)
+            if predictor.is_paired
+            else "labels"
+        )
+        self._infer = predictor._build_infer(packed_max_len=predictor.len, emit=emit)
+        self._need_lengths = predictor.semantics == "packed"
         # double-buffered staging: the in-flight batch's host buffer must not
         # be rewritten while its (possibly lazy) H2D transfer is pending
-        self._staging = [
-            np.full((rows, predictor.len), PAD_TOKEN, np.uint8) for _ in range(2)
-        ]
+        self._staging = [np.full((rows, pl), _PAD_BYTE, np.uint8) for _ in range(2)]
         self._stage_len = [np.zeros(rows, np.int32) for _ in range(2)]
         self._slot = 0
-        self._scratch = bytearray()  # reusable gather buffer for writes
+        self._writer = None
 
     # -- batching ------------------------------------------------------
 
     def _infer_tokens(self, tok1, len1, tok2=None, len2=None):
-        """Copy token views into the padded staging buffer, classify, and
-        return logits for the actual rows."""
+        """Copy packed-token views into the staging buffer, start the H2D
+        transfer explicitly (so it overlaps the in-flight batch's compute),
+        classify, and return device logits."""
+        import jax
+
         nb = len(tok1)
+        bs = self.dbs
         self._slot ^= 1
         st, sl = self._staging[self._slot], self._stage_len[self._slot]
         st[:nb] = tok1
-        sl[:nb] = len1
         if tok2 is not None:
-            st[nb : 2 * nb] = tok2
-            sl[nb : 2 * nb] = len2
-            st[2 * nb :] = PAD_TOKEN
-            sl[2 * nb :] = 0
-        else:
-            st[nb:] = PAD_TOKEN
-            sl[nb:] = 0
-        return self.p._infer(st, sl)
+            # R2 always at the fixed offset bs so pair i aligns with row
+            # bs + i for the on-device reconciliation (pipeline emit
+            # "pair_labels"); rows [nb, bs) are padding on a short last batch
+            st[bs : bs + nb] = tok2
+            if nb < bs:
+                st[nb:bs] = _PAD_BYTE
+                st[bs + nb :] = _PAD_BYTE
+        elif nb < len(st):
+            st[nb:] = _PAD_BYTE
+        st_dev = jax.device_put(st)
+        if self._need_lengths:
+            sl[:nb] = len1
+            if tok2 is not None:
+                sl[bs : bs + nb] = len2
+                if nb < bs:
+                    sl[nb:bs] = 0
+                    sl[bs + nb :] = 0
+            else:
+                sl[nb:] = 0
+            return self._infer(st_dev, jax.device_put(sl))
+        return self._infer(st_dev)
 
     # -- writing -------------------------------------------------------
 
     def _write_sel(self, fh, data, offsets, sel):
         if len(sel):
             with self.p.timer.stage("write"):
-                fh.write(native.gather_records(data, offsets, sel, self._scratch))
+                scratch = self._writer.acquire_scratch()
+                payload = native.gather_records(data, offsets, sel, scratch)
+                self._writer.write(fh, payload, scratch=scratch)
+
+    def _write_text(self, fh, records, sel):
+        if len(sel):
+            payload = (
+                "\n".join("\n".join(records[i]) for i in sel) + "\n"
+            ).encode("latin-1")
+            self._writer.write(fh, payload)
 
     # -- single-end ----------------------------------------------------
 
@@ -185,15 +414,17 @@ class NativeRunner:
         else:
             fhs = p._open_outputs(binary=True)
 
+        self._writer = _Writer()
         timer = p.timer
+        prefetch = _Prefetcher(chunks)
         pending = None  # (data, offsets, base, nb, logits_dev)
         ci = resume.chunks_done if resume else 0
         while True:
             with timer.stage("parse"):
-                chunk = next(chunks, None)
+                chunk = prefetch.get()
             if chunk is None:
                 break
-            data, offsets, tokens, lengths, clean, n = chunk
+            data, offsets, ptokens, lengths, clean, n = chunk
             if resume:
                 fhs = resume.open_chunk(p, ci)
             chunk_records = (
@@ -205,13 +436,12 @@ class NativeRunner:
                 nb = min(bs, n - start)
                 with timer.stage("infer_dispatch"):
                     logits_dev = self._infer_tokens(
-                        tokens[start : start + nb], lengths[start : start + nb]
+                        ptokens[start : start + nb], lengths[start : start + nb]
                     )
                 if pending is not None:
                     self._finish_single(fhs, counts, *pending)
-                # snapshot the offsets rows: the stream's offset array is
-                # reused and will be overwritten by the next chunk's parse
-                # while this batch is still in flight
+                # snapshot the offsets rows: the stream's slot arrays rotate
+                # and will be overwritten while this batch is in flight
                 pending = (
                     data,
                     offsets[start : start + nb].copy(),
@@ -226,22 +456,23 @@ class NativeRunner:
                     pending = None
             num_read += n
             if resume:
+                self._writer.barrier()
                 resume.complete_chunk(p, ci, fhs, num_read, counts)
             ci += 1
             if p.chunk_size is not None:
                 p._log_progress(num_read)
         if pending is not None:
             self._finish_single(fhs, counts, *pending)
+        self._writer.close()
         if resume:
             resume.merge(p)
         else:
             p._close_outputs(fhs)
         p._log_summary(num_read, counts)
 
-    def _finish_single(self, fhs, counts, data, boffsets, chunk_records, start, nb, logits_dev):
+    def _finish_single(self, fhs, counts, data, boffsets, chunk_records, start, nb, labels_dev):
         with self.p.timer.stage("infer_wait"):
-            logits = np.asarray(logits_dev)[:nb]
-        labels = logits.argmax(1)
+            labels = np.asarray(labels_dev)[:nb]
         sel0 = np.flatnonzero(labels == 0)
         sel1 = np.flatnonzero(labels == 1)
         counts["norrna"] += len(sel0)
@@ -254,15 +485,6 @@ class NativeRunner:
             self._write_text(fhs["norrna"][0], chunk_records, sel0 + start)
             if "rrna" in fhs:
                 self._write_text(fhs["rrna"][0], chunk_records, sel1 + start)
-
-    @staticmethod
-    def _write_text(fh, records, sel):
-        if len(sel):
-            fh.write(
-                ("\n".join("\n".join(records[i]) for i in sel) + "\n").encode(
-                    "latin-1"
-                )
-            )
 
     # -- paired-end ----------------------------------------------------
 
@@ -282,13 +504,17 @@ class NativeRunner:
         else:
             fhs = p._open_outputs(binary=True)
 
+        self._writer = _Writer()
         timer = p.timer
+        # one prefetch thread per input file: R1 and R2 parse concurrently
+        # (the reference uses Pool(2) the same way, detect.py:131-132)
+        pf1, pf2 = _Prefetcher(it1), _Prefetcher(it2)
         pending = None
         ci = resume.chunks_done if resume else 0
         while True:
             with timer.stage("parse"):
-                c1 = next(it1, None)
-                c2 = next(it2, None)
+                c1 = pf1.get()
+                c2 = pf2.get()
             if c1 is None or c2 is None:
                 break
             d1, o1, t1, l1, cl1, n1 = c1
@@ -309,8 +535,7 @@ class NativeRunner:
                     )
                 if pending is not None:
                     self._finish_paired(fhs, counts, *pending)
-                # snapshot offsets rows (stream arrays are reused; see
-                # run_single)
+                # snapshot offsets rows (stream arrays rotate; see run_single)
                 pending = (
                     d1,
                     o1[start : start + nb].copy(),
@@ -327,24 +552,26 @@ class NativeRunner:
                     pending = None
             num_read += n
             if resume:
+                self._writer.barrier()
                 resume.complete_chunk(p, ci, fhs, num_read, counts)
             ci += 1
             if p.chunk_size is not None:
                 p._log_progress(num_read)
         if pending is not None:
             self._finish_paired(fhs, counts, *pending)
+        self._writer.close()
         if resume:
             resume.merge(p)
         else:
             p._close_outputs(fhs)
         p._log_summary(num_read, counts)
 
-    def _finish_paired(self, fhs, counts, d1, bo1, recs1, d2, bo2, recs2, start, nb, logits_dev):
+    def _finish_paired(self, fhs, counts, d1, bo1, recs1, d2, bo2, recs2, start, nb, labels_dev):
         p = self.p
         with p.timer.stage("infer_wait"):
-            logits = np.asarray(logits_dev)
-        lg1, lg2 = logits[:nb], logits[nb : 2 * nb]
-        labels = paired_final_labels(lg1, lg2, p.args.ensure)
+            # final pair labels, reconciled on device (ensure truth table in
+            # runtime/ensure.py paired_final_labels_jnp)
+            labels = np.asarray(labels_dev)[:nb]
         sel = {lab: np.flatnonzero(labels == lab) for lab in (0, 1, -1)}
         counts["norrna"] += len(sel[0])
         counts["rrna"] += len(sel[1])

@@ -120,11 +120,27 @@ class Predictor:
         )
         self._infer = self._build_infer()
 
-    def _build_infer(self):
+    def _build_infer(self, packed_max_len=None, emit="logits"):
+        """Jitted classify step.
+
+        packed_max_len=None: infer(tokens [B,T] uint8, lengths) -- the
+        portable path. packed_max_len=T: infer(ptokens [B,(T+2)//3] uint8
+        base-5 packed, lengths) -- the native path's 3x-smaller host->device
+        transfer, unpacked on device (ops.unpack_b5_tokens); lengths is
+        ignored (and never transferred) for dense semantics.
+
+        emit: "logits" -> [B, 2] fp32; "labels" -> [B] int32 per-read argmax;
+        ("pair_labels", ensure) -> [B//2] int32 final pair labels with R1 in
+        rows [0, B//2) and R2 in rows [B//2, B) -- ensure-mode reconciliation
+        runs on device (runtime/ensure.py paired_final_labels_jnp) and the
+        device->host result shrinks 8x.
+        """
         import jax
         import jax.numpy as jnp
 
         from ribodetector_tpu.ops import classify_logits
+        from ribodetector_tpu.ops.dispatch import unpack_b5_tokens
+        from ribodetector_tpu.runtime.ensure import paired_final_labels_jnp
 
         params = jax.device_put(self.params, self.device)
         semantics = self.semantics
@@ -141,20 +157,57 @@ class Predictor:
             else jax.lax.Precision.DEFAULT
         )
 
-        @jax.jit
-        def infer(tokens, lengths):
-            return classify_logits(
-                params,
-                tokens,
-                lengths,
-                semantics=semantics,
-                compute_dtype=compute_dtype,
-                precision=precision,
-                kernel=kernel,
-                matmul=matmul,
+        if emit == "logits":
+            post = lambda logits: logits
+        elif emit == "labels":
+            post = lambda logits: jnp.argmax(logits, axis=1).astype(jnp.int32)
+        elif isinstance(emit, tuple) and emit[0] == "pair_labels":
+            ensure = emit[1]
+
+            def post(logits):
+                half = logits.shape[0] // 2
+                return paired_final_labels_jnp(
+                    logits[:half], logits[half:], ensure
+                )
+        else:
+            raise ValueError(f"unknown emit: {emit}")
+
+        def classify(tokens, lengths):
+            return post(
+                classify_logits(
+                    params,
+                    tokens,
+                    lengths,
+                    semantics=semantics,
+                    compute_dtype=compute_dtype,
+                    precision=precision,
+                    kernel=kernel,
+                    matmul=matmul,
+                )
             )
 
-        return infer
+        if packed_max_len is None:
+
+            @jax.jit
+            def infer(tokens, lengths):
+                return classify(tokens, lengths)
+
+            return infer
+
+        max_len = packed_max_len
+        if semantics == "packed":
+
+            @jax.jit
+            def infer_packed(ptokens, lengths):
+                return classify(unpack_b5_tokens(ptokens, max_len), lengths)
+
+            return infer_packed
+
+        @jax.jit
+        def infer_dense(ptokens):
+            return classify(unpack_b5_tokens(ptokens, max_len), None)
+
+        return lambda ptokens, lengths=None: infer_dense(ptokens)
 
     # ------------------------------------------------------------ encode
 

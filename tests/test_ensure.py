@@ -67,3 +67,19 @@ def test_separate_paired_reads_pairs_stay_together():
     d1, d2 = separate_paired_reads(r1, l1, r2, l2, "both")
     assert d1[-1] == ["@a/1\nAC"] and d2[-1] == ["@a/2\nCA"]
     assert d1[1] == ["@b/1\nGG"] and d2[1] == ["@b/2\nCC"]
+
+
+def test_jnp_twin_matches_numpy(rng):
+    """paired_final_labels_jnp (the on-device reconciliation the native
+    runtime jits, pipeline.py emit="pair_labels") agrees with the numpy
+    truth table on random logits for every ensure mode."""
+    import jax.numpy as jnp
+
+    from ribodetector_tpu.runtime.ensure import paired_final_labels_jnp
+
+    l1 = rng.standard_normal((256, 2)).astype(np.float32)
+    l2 = rng.standard_normal((256, 2)).astype(np.float32)
+    for mode in ("rrna", "norrna", "both", "none", None):
+        want = paired_final_labels(l1, l2, mode)
+        got = np.asarray(paired_final_labels_jnp(jnp.asarray(l1), jnp.asarray(l2), mode))
+        np.testing.assert_array_equal(got, want)

@@ -71,6 +71,68 @@ def test_gather_with_scratch_reuse():
     assert out2 == data[offsets[1, 0] : offsets[1, 1]]
 
 
+def test_b5_packed_parse_matches_unpacked(rng):
+    """rd_parse_fastq_b5 packed rows decode to exactly rd_parse_fastq's
+    tokens (3 tokens/byte, pad trio byte 124)."""
+    bases = np.array(list("ACGTUNacgt"))
+    seqs = ["".join(rng.choice(bases, size=rng.integers(5, 160))) for _ in range(150)]
+    data = make_fastq(seqs)
+    for max_len in (100, 99):  # divisible and non-divisible by 3
+        o1, tokens, l1, c1, u1 = native.parse_fastq_chunk(data, max_len)
+        o2, packed, l2, c2, u2 = native.parse_fastq_chunk_b5(data, max_len)
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(l1, l2)
+        assert u1 == u2
+        assert packed.shape[1] == native.b5_packed_len(max_len)
+        assert packed.max() <= 124
+        # decode trios
+        trios = packed.astype(np.int32)
+        dec = np.stack([trios % 5, (trios // 5) % 5, trios // 25], axis=-1)
+        dec = dec.reshape(len(seqs), -1)[:, :max_len].astype(np.uint8)
+        np.testing.assert_array_equal(dec, tokens)
+        # numpy packer agrees with the native one
+        np.testing.assert_array_equal(native.pack_b5(tokens), packed)
+
+
+def test_unpack_b5_tokens_device_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from ribodetector_tpu.ops.dispatch import unpack_b5_tokens
+
+    for T in (100, 101):
+        tokens = rng.integers(0, 5, (64, T)).astype(np.uint8)
+        packed = native.pack_b5(tokens)
+        out = np.asarray(unpack_b5_tokens(jnp.asarray(packed), T))
+        np.testing.assert_array_equal(out, tokens)
+
+
+def test_chunk_stream_multimember_gzip_and_small_caps(tmp_path, rng):
+    """The windowed chunk stream: multi-member gzip (pigz/bgzf-style, also
+    produced by our own resume part-merge) must decode fully, and tiny
+    record caps exercise the window tail-carry path."""
+    import gzip as _gzip
+
+    from ribodetector_tpu.runtime.native_pipeline import FastqChunkStream
+
+    seqs = ["".join(rng.choice(list("ACGT"), size=rng.integers(40, 101)))
+            for _ in range(101)]
+    recs = [f"@m{i}\n{s}\n+\n{'I' * len(s)}\n".encode() for i, s in enumerate(seqs)]
+    path = tmp_path / "mm.fq.gz"
+    with open(path, "wb") as fh:
+        fh.write(_gzip.compress(b"".join(recs[:40])))
+        fh.write(_gzip.compress(b"".join(recs[40:])))
+    for cap in (7, 1000):
+        got = []
+        for data, offsets, ptokens, lengths, clean, n in FastqChunkStream(
+            str(path), 100, cap
+        ):
+            assert n <= cap
+            for i in range(n):
+                s, e = offsets[i]
+                got.append(bytes(data[s:e]))
+        assert got == recs
+
+
 def test_cli_native_path_crlf_fallback(tmp_path, torch_reference):
     """End-to-end: a CRLF FASTQ goes through the dirty-record fallback and
     still produces the reference partition with rstripped lines."""
