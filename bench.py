@@ -7,8 +7,10 @@ Prints ONE JSON line:
 value       = sustained Pallas classify throughput on the local TPU chip in
               the production pipeline configuration: base-5 packed uint8
               token batches (3 tokens/byte, the native runtime's transfer
-              format), double-buffered host->device transfers overlapping
-              compute, on-device unpack + BiLSTM + argmax label emit, in the
+              format), host->device transfers pipelined 3 batches deep
+              (matching runtime/native_pipeline.py) so transfer, dispatch and
+              D2H latency hide behind compute, on-device unpack + BiLSTM +
+              argmax label emit, in the
               production precision mode ("high": 3-pass limb-split fp32
               matmuls -- argmax parity with the fp32 reference is verified
               IN THIS BENCH on the same batch before timing; the run falls
@@ -81,14 +83,15 @@ def measure_tpu():
 
     np.asarray(infer(jax.device_put(ptoks[0])))  # warm
     N = 16
+    DEPTH = 3  # in-flight batches, matching runtime/native_pipeline.py
     t0 = time.time()
-    pending = None
+    pending = []
     for i in range(N):
-        out = infer(jax.device_put(ptoks[i % len(ptoks)]))
-        if pending is not None:
-            np.asarray(pending)
-        pending = out
-    np.asarray(pending)
+        pending.append(infer(jax.device_put(ptoks[i % len(ptoks)])))
+        if len(pending) > DEPTH:
+            np.asarray(pending.pop(0))
+    for out in pending:
+        np.asarray(out)
     dt = (time.time() - t0) / N
     return B / dt
 

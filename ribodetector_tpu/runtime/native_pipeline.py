@@ -15,9 +15,13 @@ Pipeline shape (measured on the v5e host, 2M x 100bp reads):
   bytes, so the 13 MB/batch unpacked matrix was costing more than the
   BiLSTM kernel itself; packed it is 4.4 MB and fully hides behind the
   previous batch's compute.
-- transfers are double-buffered: the device_put of batch i+1 is issued
-  while batch i computes, from an alternating pair of staging buffers so
-  an in-flight transfer's source is never overwritten.
+- transfers are pipelined DEPTH=3 batches deep: the device keeps up to
+  three batches in flight (staged from a 4-buffer pool so an in-flight
+  transfer's source is never overwritten -- a slot is reused only after
+  its batch's labels have been fetched, which orders strictly after its
+  H2D). Measured on the v5e: depth 1 = 838 K reads/s, depth 3 = 1.02 M
+  reads/s -- the deeper queue hides dispatch + D2H latency, not just the
+  transfer itself.
 - parse runs in a prefetch thread and file writes in a writer thread
   (gzip/zlib and file IO release the GIL), so decompress/parse of chunk
   i+1 and compressed writes of batch i-1 overlap the device.
@@ -64,9 +68,13 @@ class FastqChunkStream:
     by restarting the decompressor at each member boundary -- Python's gzip
     module does the same; a single zlib.decompressobj would silently drop
     everything after the first member.
+
+    SLOTS sizing: with the runner's DEPTH=3 in-flight batches (each possibly
+    the only batch of its chunk, so each pinning one window), live windows =
+    1 current + 3 pending + 1 in the prefetch queue + 1 being parsed = 6.
     """
 
-    SLOTS = 4
+    SLOTS = 6
 
     def __init__(self, path, max_len, records_per_chunk, window_bytes=None):
         self.max_len = max_len
@@ -319,6 +327,8 @@ class NativeRunner:
     classify step and byte-gather writers. Owns the reusable staging
     buffers; one instance per detect() run."""
 
+    DEPTH = 3  # in-flight device batches (measured sweet spot, module doc)
+
     def __init__(self, predictor):
         self.p = predictor
         # Device batch: the reference's -m formula (quirk #9) guards GPU RAM
@@ -339,10 +349,13 @@ class NativeRunner:
         )
         self._infer = predictor._build_infer(packed_max_len=predictor.len, emit=emit)
         self._need_lengths = predictor.semantics == "packed"
-        # double-buffered staging: the in-flight batch's host buffer must not
-        # be rewritten while its (possibly lazy) H2D transfer is pending
-        self._staging = [np.full((rows, pl), _PAD_BYTE, np.uint8) for _ in range(2)]
-        self._stage_len = [np.zeros(rows, np.int32) for _ in range(2)]
+        # DEPTH batches stay in flight on the device; staging buffers rotate
+        # through a DEPTH+1 pool so a buffer is rewritten only after its
+        # batch's labels were fetched (which orders after its H2D transfer)
+        self._staging = [
+            np.full((rows, pl), _PAD_BYTE, np.uint8) for _ in range(self.DEPTH + 1)
+        ]
+        self._stage_len = [np.zeros(rows, np.int32) for _ in range(self.DEPTH + 1)]
         self._slot = 0
         self._writer = None
 
@@ -356,7 +369,7 @@ class NativeRunner:
 
         nb = len(tok1)
         bs = self.dbs
-        self._slot ^= 1
+        self._slot = (self._slot + 1) % len(self._staging)
         st, sl = self._staging[self._slot], self._stage_len[self._slot]
         st[:nb] = tok1
         if tok2 is not None:
@@ -417,7 +430,9 @@ class NativeRunner:
         self._writer = _Writer()
         timer = p.timer
         prefetch = _Prefetcher(chunks)
-        pending = None  # (data, offsets, base, nb, logits_dev)
+        from collections import deque
+
+        pending = deque()  # (fhs, data, offsets, records, start, nb, labels_dev)
         ci = resume.chunks_done if resume else 0
         while True:
             with timer.stage("parse"):
@@ -438,22 +453,24 @@ class NativeRunner:
                     logits_dev = self._infer_tokens(
                         ptokens[start : start + nb], lengths[start : start + nb]
                     )
-                if pending is not None:
-                    self._finish_single(fhs, counts, *pending)
                 # snapshot the offsets rows: the stream's slot arrays rotate
                 # and will be overwritten while this batch is in flight
-                pending = (
-                    data,
-                    offsets[start : start + nb].copy(),
-                    chunk_records,
-                    start,
-                    nb,
-                    logits_dev,
+                pending.append(
+                    (
+                        fhs,
+                        data,
+                        offsets[start : start + nb].copy(),
+                        chunk_records,
+                        start,
+                        nb,
+                        logits_dev,
+                    )
                 )
                 if resume:
                     # chunk completion must cover all its batches
-                    self._finish_single(fhs, counts, *pending)
-                    pending = None
+                    self._finish_single(counts, *pending.popleft())
+                elif len(pending) > self.DEPTH:
+                    self._finish_single(counts, *pending.popleft())
             num_read += n
             if resume:
                 self._writer.barrier()
@@ -461,8 +478,8 @@ class NativeRunner:
             ci += 1
             if p.chunk_size is not None:
                 p._log_progress(num_read)
-        if pending is not None:
-            self._finish_single(fhs, counts, *pending)
+        while pending:
+            self._finish_single(counts, *pending.popleft())
         self._writer.close()
         if resume:
             resume.merge(p)
@@ -470,7 +487,7 @@ class NativeRunner:
             p._close_outputs(fhs)
         p._log_summary(num_read, counts)
 
-    def _finish_single(self, fhs, counts, data, boffsets, chunk_records, start, nb, labels_dev):
+    def _finish_single(self, counts, fhs, data, boffsets, chunk_records, start, nb, labels_dev):
         with self.p.timer.stage("infer_wait"):
             labels = np.asarray(labels_dev)[:nb]
         sel0 = np.flatnonzero(labels == 0)
@@ -509,7 +526,9 @@ class NativeRunner:
         # one prefetch thread per input file: R1 and R2 parse concurrently
         # (the reference uses Pool(2) the same way, detect.py:131-132)
         pf1, pf2 = _Prefetcher(it1), _Prefetcher(it2)
-        pending = None
+        from collections import deque
+
+        pending = deque()
         ci = resume.chunks_done if resume else 0
         while True:
             with timer.stage("parse"):
@@ -533,23 +552,25 @@ class NativeRunner:
                         t2[start : start + nb],
                         l2[start : start + nb],
                     )
-                if pending is not None:
-                    self._finish_paired(fhs, counts, *pending)
                 # snapshot offsets rows (stream arrays rotate; see run_single)
-                pending = (
-                    d1,
-                    o1[start : start + nb].copy(),
-                    recs1,
-                    d2,
-                    o2[start : start + nb].copy(),
-                    recs2,
-                    start,
-                    nb,
-                    logits_dev,
+                pending.append(
+                    (
+                        fhs,
+                        d1,
+                        o1[start : start + nb].copy(),
+                        recs1,
+                        d2,
+                        o2[start : start + nb].copy(),
+                        recs2,
+                        start,
+                        nb,
+                        logits_dev,
+                    )
                 )
                 if resume:
-                    self._finish_paired(fhs, counts, *pending)
-                    pending = None
+                    self._finish_paired(counts, *pending.popleft())
+                elif len(pending) > self.DEPTH:
+                    self._finish_paired(counts, *pending.popleft())
             num_read += n
             if resume:
                 self._writer.barrier()
@@ -557,8 +578,8 @@ class NativeRunner:
             ci += 1
             if p.chunk_size is not None:
                 p._log_progress(num_read)
-        if pending is not None:
-            self._finish_paired(fhs, counts, *pending)
+        while pending:
+            self._finish_paired(counts, *pending.popleft())
         self._writer.close()
         if resume:
             resume.merge(p)
@@ -566,7 +587,7 @@ class NativeRunner:
             p._close_outputs(fhs)
         p._log_summary(num_read, counts)
 
-    def _finish_paired(self, fhs, counts, d1, bo1, recs1, d2, bo2, recs2, start, nb, labels_dev):
+    def _finish_paired(self, counts, fhs, d1, bo1, recs1, d2, bo2, recs2, start, nb, labels_dev):
         p = self.p
         with p.timer.stage("infer_wait"):
             # final pair labels, reconciled on device (ensure truth table in
