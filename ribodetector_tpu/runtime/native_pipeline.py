@@ -61,22 +61,33 @@ class FastqChunkStream:
     parser runs in place over it -- no intermediate bytes objects, joins, or
     newline counting, and the GIL is released for nearly all of the work so
     a prefetch thread overlaps cleanly with device dispatch. Windows and
-    output arrays rotate through a slot pool sized so a prefetching consumer
-    can hold two chunks (current + in-flight batch) while the next parses.
+    output arrays rotate through a slot pool sized from the consumer's
+    pipeline depth (see below) so a chunk window is never overwritten while
+    a batch referencing it is still in flight.
 
     Multi-member gzip (pigz/bgzf, or our own resume-merged parts) is handled
     by restarting the decompressor at each member boundary -- Python's gzip
     module does the same; a single zlib.decompressobj would silently drop
     everything after the first member.
 
-    SLOTS sizing: with the runner's DEPTH=3 in-flight batches (each possibly
-    the only batch of its chunk, so each pinning one window), live windows =
-    1 current + 3 pending + 1 in the prefetch queue + 1 being parsed = 6.
+    Slot sizing: with `depth` in-flight device batches (each possibly the
+    only batch of its chunk, so each pinning one window) and `prefetch`
+    chunks buffered in the consumer's prefetch queue, live windows =
+    1 current + depth pending + prefetch queued + 1 being parsed, plus one
+    slot of slack = depth + prefetch + 3. Callers that change their pipeline
+    depth MUST pass it here -- the pool grows with it automatically.
     """
 
-    SLOTS = 6
-
-    def __init__(self, path, max_len, records_per_chunk, window_bytes=None):
+    def __init__(
+        self,
+        path,
+        max_len,
+        records_per_chunk,
+        window_bytes=None,
+        depth=3,
+        prefetch=1,
+    ):
+        self.slots = depth + prefetch + 3
         self.max_len = max_len
         self.cap = records_per_chunk
         self._fh = open(path, "rb")
@@ -101,7 +112,7 @@ class FastqChunkStream:
                 np.zeros(cap, np.int32),
                 np.zeros(cap, np.uint8),
             )
-            for _ in range(self.SLOTS)
+            for _ in range(self.slots)
         ]
         self._si = 0
 
@@ -131,14 +142,19 @@ class FastqChunkStream:
             out = self._dec.decompress(raw, target - pos)
             mv[pos : pos + len(out)] = out
             pos += len(out)
-            if self._dec.unconsumed_tail:
-                self._carry = self._dec.unconsumed_tail
-            elif self._dec.eof:
-                # gzip member boundary: restart for the next member
+            if self._dec.eof:
+                # gzip member boundary: restart for the next member. MUST be
+                # checked before unconsumed_tail -- when the member ends
+                # inside a max_length-truncated decompress call, zlib sets
+                # BOTH unconsumed_tail and unused_data to the leftover bytes,
+                # and re-feeding a finished decompressobj returns b"" forever
+                # (observed hang on multi-member files with small windows).
                 self._carry = self._dec.unused_data
                 self._dec = zlib.decompressobj(32 + zlib.MAX_WBITS)
                 if not self._carry and self._eof:
                     break
+            elif self._dec.unconsumed_tail:
+                self._carry = self._dec.unconsumed_tail
         return pos
 
     def __iter__(self):
@@ -148,7 +164,7 @@ class FastqChunkStream:
         pl = native.b5_packed_len(self.max_len)
         while True:
             win, offsets, ptokens, lengths, clean = self._slots[self._si]
-            self._si = (self._si + 1) % self.SLOTS
+            self._si = (self._si + 1) % self.slots
             mv = memoryview(win)
             pos = len(self._tail)
             mv[:pos] = self._tail
@@ -210,8 +226,9 @@ class FastqChunkStream:
 class _Prefetcher:
     """Pulls items off an iterator in a daemon thread (bounded queue) so
     decompress+parse of the next chunk overlaps device compute and writes.
-    Safe with FastqChunkStream's rotating slots: queue depth 1 keeps at most
-    SLOTS-1 chunks alive outside the producer."""
+    Safe with FastqChunkStream's rotating slots as long as the stream was
+    constructed with prefetch >= this queue's depth (see slot sizing in
+    FastqChunkStream's docstring)."""
 
     _DONE = object()
 
@@ -328,6 +345,7 @@ class NativeRunner:
     buffers; one instance per detect() run."""
 
     DEPTH = 3  # in-flight device batches (measured sweet spot, module doc)
+    PREFETCH = 1  # chunks buffered per _Prefetcher queue
 
     def __init__(self, predictor):
         self.p = predictor
@@ -419,7 +437,13 @@ class NativeRunner:
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
         bs = self.dbs
-        stream = FastqChunkStream(p.input[0], p.len, self._records_per_chunk())
+        stream = FastqChunkStream(
+            p.input[0],
+            p.len,
+            self._records_per_chunk(),
+            depth=self.DEPTH,
+            prefetch=self.PREFETCH,
+        )
         chunks = iter(stream)
         if resume:
             num_read, counts = resume.restore(p, [chunks])
@@ -429,7 +453,7 @@ class NativeRunner:
 
         self._writer = _Writer()
         timer = p.timer
-        prefetch = _Prefetcher(chunks)
+        prefetch = _Prefetcher(chunks, depth=self.PREFETCH)
         from collections import deque
 
         pending = deque()  # (fhs, data, offsets, records, start, nb, labels_dev)
@@ -512,8 +536,12 @@ class NativeRunner:
         num_read = 0
         bs = self.dbs
         rpc = self._records_per_chunk()
-        s1 = FastqChunkStream(p.input[0], p.len, rpc)
-        s2 = FastqChunkStream(p.input[1], p.len, rpc)
+        s1 = FastqChunkStream(
+            p.input[0], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
+        )
+        s2 = FastqChunkStream(
+            p.input[1], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
+        )
         it1, it2 = iter(s1), iter(s2)
         if resume:
             num_read, counts = resume.restore(p, [it1, it2])
@@ -525,7 +553,8 @@ class NativeRunner:
         timer = p.timer
         # one prefetch thread per input file: R1 and R2 parse concurrently
         # (the reference uses Pool(2) the same way, detect.py:131-132)
-        pf1, pf2 = _Prefetcher(it1), _Prefetcher(it2)
+        pf1 = _Prefetcher(it1, depth=self.PREFETCH)
+        pf2 = _Prefetcher(it2, depth=self.PREFETCH)
         from collections import deque
 
         pending = deque()
