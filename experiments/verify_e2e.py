@@ -17,7 +17,7 @@ import torch.nn as nn
 state = torch.load(
     "/root/reference/ribodetector/data/ribodetector_600k_variable_len70_101_epoch47.pth",
     map_location="cpu",
-    weights_only=False,
+    weights_only=True,
 )["state_dict"]
 rnn = nn.LSTM(4, 128, 1, batch_first=True, bidirectional=True)
 head = nn.Linear(256, 2)
@@ -115,14 +115,17 @@ with tempfile.TemporaryDirectory() as d:
         capture_output=True, text=True, timeout=400,
     )
     assert r.returncode == 0, r.stderr[-3000:]
-    for path, lab in ((o1, 0), (r1p, 1), (o1 + ".unclassified.gz", -1)):
+    for path, lab in (
+        (o1, 0), (r1p, 1), (o1 + ".unclassified.gz", -1),
+        (o2, 0), (r2p, 1), (o2 + ".unclassified.gz", -1),
+    ):
         got = set(read_ids(path))
         want = {f"p{i}" for i in np.flatnonzero(plab == lab)}
         if got != want:
             fails += 1
-            print(f"PAIRED MISMATCH label={lab}: sym-diff {len(got ^ want)}")
+            print(f"PAIRED MISMATCH {path} label={lab}: sym-diff {len(got ^ want)}")
         else:
-            print(f"paired label={lab} ok: {len(got)} pairs")
+            print(f"paired {os.path.basename(path)} label={lab} ok: {len(got)} pairs")
 
     # --- probes ---
     bad = os.path.join(d, "in.txt")

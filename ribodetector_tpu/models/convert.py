@@ -55,7 +55,7 @@ def convert_checkpoint(pth_path: str, npz_path: str) -> dict:
 
     import torch
 
-    state = torch.load(pth_path, map_location="cpu", weights_only=False)
+    state = torch.load(pth_path, map_location="cpu", weights_only=True)
     meta = {"source_checkpoint": str(pth_path)}
     if isinstance(state, dict) and "state_dict" in state:
         for k in ("arch", "epoch", "batch_size", "metrics"):

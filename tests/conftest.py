@@ -64,7 +64,7 @@ def torch_reference():
     pth = "/root/reference/ribodetector/data/ribodetector_600k_variable_len70_101_epoch47.pth"
     if not os.path.exists(pth):
         pytest.skip("reference checkpoint not available")
-    state = torch.load(pth, map_location="cpu", weights_only=False)["state_dict"]
+    state = torch.load(pth, map_location="cpu", weights_only=True)["state_dict"]
     rnn = nn.LSTM(4, 128, 1, batch_first=True, bidirectional=True)
     head = nn.Linear(256, 2)
     rnn.load_state_dict({k[4:]: v for k, v in state.items() if k.startswith("rnn.")})
