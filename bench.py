@@ -11,8 +11,9 @@ value       = sustained Pallas classify throughput on the local TPU chip in
               (matching runtime/native_pipeline.py) so transfer, dispatch and
               D2H latency hide behind compute, on-device unpack + BiLSTM +
               argmax label emit, in the
-              production precision mode ("high": 3-pass limb-split fp32
-              matmuls -- argmax parity with the fp32 reference is verified
+              production precision mode ("high": 2-limb-split fp32 matmul
+              emulation fused into ONE K=384 MXU launch per direction per
+              step -- argmax parity with the fp32 reference is verified
               IN THIS BENCH on the same batch before timing; the run falls
               back to the exact x6 mode if any read flips). B=131072 per
               batch, steady-state over 16 batches; paired-end reads counted
@@ -105,7 +106,7 @@ def measure_torch_cpu_baseline():
     state = torch.load(
         "/root/reference/ribodetector/data/ribodetector_600k_variable_len70_101_epoch47.pth",
         map_location="cpu",
-        weights_only=False,
+        weights_only=True,
     )["state_dict"]
     rnn = nn.LSTM(4, 128, 1, batch_first=True, bidirectional=True)
     head = nn.Linear(256, 2)

@@ -40,10 +40,21 @@ onnxruntime LSTM, detect_cpu.py:88-96). Design notes:
            near the decision boundary than real reads): dense semantics
            ZERO argmax flips; packed semantics 1 flip on a read whose fp32
            logit margin was 3.5e-5 (below cross-implementation fp32 noise:
-           cuDNN / onnxruntime / XLA disagree on such reads too). 3 MXU
-           passes, ~1.66x the throughput of "x6".
-    "x1"   one bf16 pass (precision=DEFAULT): fastest, ~0.2% argmax flips
-           on random tokens, for throughput-over-parity runs.
+           cuDNN / onnxruntime / XLA disagree on such reads too).
+           Implementation (round 2, measured 1.51x over three separate
+           [512,136] passes -- experiments/kbench3.py): the three limb
+           products run as ONE MXU launch per direction per step,
+               gates = [Whi | Whi | Wlo] ([512,384]) @ [hhi; hlo; hhi]
+           so K = 384 is exactly 3 MXU k-tiles with zero padding waste
+           (a 136-wide K pads to 2 tiles, so 3 separate passes burn 6),
+           and the token/bias contribution is added in EXACT fp32 from a
+           [512, 8] per-token column table via 5-way VPU masked selects --
+           cheaper than any K>=8 matmul for it, and more accurate than the
+           bf16-limb token columns of the fused-136 layout.
+    "x1"   one bf16 pass (precision=DEFAULT) over the fused [512,136]
+           weight (in-matmul one-hot: for a single pass the extra k-tile
+           beats VPU token selects -- measured): fastest, ~0.2% argmax
+           flips on random tokens, for throughput-over-parity runs.
 
 The kernel returns last_out [256, B]; the tiny Linear(256->2) head runs in
 XLA on top (models/bilstm.py weight layout).
@@ -81,14 +92,103 @@ def _build_wcat(w_ih, w_hh, b, dtype):
     return jnp.concatenate([w_hh, cols_tok], axis=0).T.astype(dtype)  # [512, 136]
 
 
+def _kernel_x3cat(
+    tokens_ref,  # [T, TILE_B] int32 (time-major)
+    gather_ref,  # [1, TILE_B] int32: per-read capture index
+    length_ref,  # [1, TILE_B] int32: true lengths (packed masking)
+    wcat3_f_ref,  # [512, 384] bf16: [Whi | Whi | Wlo]
+    wcat3_b_ref,  # [512, 384]
+    tokw_f_ref,  # [512, 8] f32 per-token gate columns (incl bias; col 4 = bias)
+    tokw_b_ref,  # [512, 8]
+    out_ref,  # [256, TILE_B]: rows 0:128 fwd capture, 128:256 bwd capture
+    h_f,  # scratch [128, TILE_B] f32
+    h_b,  # scratch [128, TILE_B] f32
+    c_f,  # scratch [128, TILE_B] f32
+    c_b,  # scratch [128, TILE_B] f32
+    rhs_f,  # scratch [384, TILE_B] bf16
+    rhs_b,  # scratch [384, TILE_B] bf16
+    *,
+    T,
+    packed,
+):
+    """The production x3 path: 2-limb split fp32 emulation, one MXU launch
+    per direction per step (module docstring "x3")."""
+    tile_b = out_ref.shape[1]
+
+    h_f[...] = jnp.zeros((HIDDEN, tile_b), jnp.float32)
+    h_b[...] = jnp.zeros((HIDDEN, tile_b), jnp.float32)
+    c_f[...] = jnp.zeros((HIDDEN, tile_b), jnp.float32)
+    c_b[...] = jnp.zeros((HIDDEN, tile_b), jnp.float32)
+    out_ref[...] = jnp.zeros((2 * HIDDEN, tile_b), jnp.float32)
+
+    gather = gather_ref[...]  # [1, TILE_B]
+    if packed:
+        length = length_ref[...]  # [1, TILE_B]
+
+    def tokc(tokw_ref, tok_row):
+        # exact-fp32 token/bias contribution: 5-way masked select of the
+        # per-token gate columns (pad token 4 = bare bias = the default arm)
+        acc = jnp.broadcast_to(tokw_ref[:, pl.ds(4, 1)], (GATES, tile_b))
+        for k in range(4):
+            col = jnp.broadcast_to(tokw_ref[:, pl.ds(k, 1)], (GATES, tile_b))
+            acc = jnp.where(tok_row == k, col, acc)
+        return acc
+
+    def cell(wcat3_ref, tokw_ref, h_ref, c_ref, rhs, tok_row):
+        h = h_ref[...]
+        h_hi = h.astype(jnp.bfloat16)
+        h_lo = (h - h_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        rhs[0:HIDDEN, :] = h_hi
+        rhs[HIDDEN : 2 * HIDDEN, :] = h_lo
+        rhs[2 * HIDDEN : 3 * HIDDEN, :] = h_hi
+        gates = jnp.dot(
+            wcat3_ref[...], rhs[...], preferred_element_type=jnp.float32
+        ) + tokc(tokw_ref, tok_row)
+        i = jax.nn.sigmoid(gates[0:HIDDEN, :])
+        f = jax.nn.sigmoid(gates[HIDDEN : 2 * HIDDEN, :])
+        g = jnp.tanh(gates[2 * HIDDEN : 3 * HIDDEN, :])
+        o = jax.nn.sigmoid(gates[3 * HIDDEN : 4 * HIDDEN, :])
+        c_new = f * c_ref[...] + i * g
+        h_new = o * jnp.tanh(c_new)
+        return h_new, c_new
+
+    def step(t, _):
+        pos_b = T - 1 - t
+        tok_f = tokens_ref[pl.ds(t, 1), :]  # [1, TILE_B]
+        tok_b = tokens_ref[pl.ds(pos_b, 1), :]
+
+        h_f_new, c_f_new = cell(wcat3_f_ref, tokw_f_ref, h_f, c_f, rhs_f, tok_f)
+        h_b_new, c_b_new = cell(wcat3_b_ref, tokw_b_ref, h_b, c_b, rhs_b, tok_b)
+
+        if packed:
+            # padding steps (pos >= L) leave the backward carry untouched so
+            # the backward direction starts exactly at the true last base
+            valid_b = pos_b < length  # [1, TILE_B]
+            h_b_new = jnp.where(valid_b, h_b_new, h_b[...])
+            c_b_new = jnp.where(valid_b, c_b_new, c_b[...])
+
+        c_f[...] = c_f_new
+        c_b[...] = c_b_new
+        h_f[...] = h_f_new
+        h_b[...] = h_b_new
+
+        out_ref[0:HIDDEN, :] = jnp.where(
+            gather == t, h_f_new, out_ref[0:HIDDEN, :]
+        )
+        out_ref[HIDDEN:, :] = jnp.where(
+            gather == pos_b, h_b_new, out_ref[HIDDEN:, :]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+
+
 def _kernel(
     tokens_ref,  # [T, TILE_B] int32 (time-major)
     gather_ref,  # [1, TILE_B] int32: per-read capture index
     length_ref,  # [1, TILE_B] int32: true lengths (packed masking)
-    wcat_f_ref,  # [512, 136] (x3: bf16 high limb)
+    wcat_f_ref,  # [512, 136] fused weight in compute dtype
     wcat_b_ref,  # [512, 136]
-    wlo_f_ref,  # [512, 136] bf16 low limb (x3 mode; zeros otherwise)
-    wlo_b_ref,  # [512, 136]
     out_ref,  # [256, TILE_B]: rows 0:128 fwd capture, 128:256 bwd capture
     hcat_f,  # scratch [136, TILE_B]
     hcat_b,  # scratch [136, TILE_B]
@@ -99,7 +199,6 @@ def _kernel(
     packed,
     compute_dtype,
     precision,
-    matmul,
 ):
     tile_b = out_ref.shape[1]
     cdt = compute_dtype
@@ -115,35 +214,17 @@ def _kernel(
     if packed:
         length = length_ref[...]  # [1, TILE_B]
 
-    def cell(wcat_ref, wlo_ref, hcat, c_ref, tok_row):
+    def cell(wcat_ref, hcat, c_ref, tok_row):
         """Advance one direction by one step; returns h_new [128, B] in cdt."""
         hcat[HIDDEN:, :] = (row_iota == tok_row).astype(cdt)
-        if matmul == "x3":
-            # manual 2-limb split: full-fp32-emulated HIGHEST needs 6 MXU
-            # passes; dropping the (Wlo @ h_lo) ~2^-18 term leaves 3 with
-            # measured-zero argmax flips (module docstring). Unlike the
-            # wrapper-level weight split, this in-kernel split needs no
-            # optimization_barrier: Mosaic lowers the jaxpr directly and
-            # does not run XLA's double-convert elision (verified on v5e;
-            # lax.optimization_barrier has no Pallas TPU lowering anyway).
-            h = hcat[...]
-            h_hi = h.astype(jnp.bfloat16)
-            h_lo = (h - h_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            whi = wcat_ref[...]
-            gates = (
-                jnp.dot(whi, h_hi, preferred_element_type=jnp.float32)
-                + jnp.dot(whi, h_lo, preferred_element_type=jnp.float32)
-                + jnp.dot(wlo_ref[...], h_hi, preferred_element_type=jnp.float32)
-            )
-        else:
-            # x6: precision=HIGHEST, bit-identical to the lax.scan reference;
-            # x1: precision=DEFAULT, one bf16 pass
-            gates = jnp.dot(
-                wcat_ref[...],
-                hcat[...],
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            ).astype(cdt)  # [512, TILE_B]; bf16 mode runs the VPU ops at 2x rate
+        # x6: precision=HIGHEST, bit-identical to the lax.scan reference;
+        # x1: precision=DEFAULT, one bf16 pass
+        gates = jnp.dot(
+            wcat_ref[...],
+            hcat[...],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ).astype(cdt)  # [512, TILE_B]; bf16 mode runs the VPU ops at 2x rate
         if cdt == jnp.float32:
             # bit-identical activations to the lax.scan reference path
             sig, tanh = jax.nn.sigmoid, jnp.tanh
@@ -171,8 +252,8 @@ def _kernel(
         tok_f = tokens_ref[pl.ds(t, 1), :]  # [1, TILE_B]
         tok_b = tokens_ref[pl.ds(pos_b, 1), :]
 
-        h_f_new, c_f_new = cell(wcat_f_ref, wlo_f_ref, hcat_f, c_f, tok_f)
-        h_b_new, c_b_new = cell(wcat_b_ref, wlo_b_ref, hcat_b, c_b, tok_b)
+        h_f_new, c_f_new = cell(wcat_f_ref, hcat_f, c_f, tok_f)
+        h_b_new, c_b_new = cell(wcat_b_ref, hcat_b, c_b, tok_b)
 
         if packed:
             # padding steps (pos >= L) leave the backward carry untouched so
@@ -224,9 +305,9 @@ def bilstm_logits_pallas(
     """Pallas-kernel twin of models.bilstm.bilstm_logits (same contract).
 
     matmul: "x6" (full fp32 emulation, bit-identical to the scan reference),
-    "x3" (split 3-pass, argmax-parity, ~1.66x faster), "x1" (one bf16 pass,
-    fastest), or "auto": x3 for float32 compute (the production default),
-    x1 for bfloat16.
+    "x3" (2-limb split as one fused K=384 MXU launch, argmax-parity, ~1.5x
+    faster than "x6"), "x1" (one bf16 pass, fastest), or "auto": x3 for
+    float32 compute (the production default), x1 for bfloat16.
     """
     packed = semantics == "packed"
     if packed and lengths is None:
@@ -260,73 +341,113 @@ def bilstm_logits_pallas(
         gather = dense_gather_index(tokens)
         lengths = jnp.zeros((Bp,), jnp.int32)
 
-    wcat_f = _build_wcat(params.w_ih_f, params.w_hh_f, params.b_f, jnp.float32)
-    wcat_b = _build_wcat(params.w_ih_b, params.w_hh_b, params.b_b, jnp.float32)
+    grid = (Bp // tile,)
+    common_specs = [
+        pl.BlockSpec((T, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    common_args = (tokens.T, gather.reshape(1, Bp), lengths.reshape(1, Bp))
+    out_spec = pl.BlockSpec(
+        (2 * HIDDEN, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((2 * HIDDEN, Bp), jnp.float32)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * Bp * T * GATES * KDIM * (3 if matmul == "x3" else 1),
+        bytes_accessed=Bp * T * 4 + 2 * GATES * KDIM * 4 + 2 * HIDDEN * Bp * 4,
+        transcendentals=2 * Bp * T * GATES,
+    )
+
     if matmul == "x3":
-        # 2-limb bf16 split of the fused weights, built once per call.
+        # Per direction: [Whi | Whi | Wlo] [512, 384] bf16 (K = exactly 3
+        # MXU k-tiles) + exact-fp32 token column table [512, 8].
         # The optimization_barrier is load-bearing: XLA's algebraic
         # simplifier rewrites convert(convert(w, bf16), f32) -> w when w is
         # a runtime argument, which folds the low limb to exactly zero and
         # silently degrades x3 to bf16 accuracy (verified on v5e: 290/131072
         # argmax flips without the barrier, 0 with it).
-        whi_f = jax.lax.optimization_barrier(wcat_f.astype(jnp.bfloat16))
-        wlo_f = (wcat_f - whi_f.astype(jnp.float32)).astype(jnp.bfloat16)
-        whi_b = jax.lax.optimization_barrier(wcat_b.astype(jnp.bfloat16))
-        wlo_b = (wcat_b - whi_b.astype(jnp.float32)).astype(jnp.bfloat16)
-        wcat_f, wcat_b = whi_f, whi_b
-    else:
-        wcat_f = wcat_f.astype(compute_dtype)
-        wcat_b = wcat_b.astype(compute_dtype)
-        # unused in x6/x1; tiny, keeps one kernel signature
-        wlo_f = jnp.zeros((GATES, KDIM), jnp.bfloat16)
-        wlo_b = wlo_f
+        def prep3(w_ih, w_hh, b):
+            whh = w_hh.T.astype(jnp.float32)  # [512, 128]
+            whi = jax.lax.optimization_barrier(whh.astype(jnp.bfloat16))
+            wlo = (whh - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+            wcat3 = jnp.concatenate([whi, whi, wlo], axis=1)  # [512, 384]
+            tokw = jnp.concatenate(
+                [
+                    w_ih + b[None, :],
+                    b[None, :],
+                    jnp.zeros((OH - 5, GATES), jnp.float32),
+                ],
+                axis=0,
+            ).T.astype(jnp.float32)  # [512, 8]
+            return wcat3, tokw
 
-    grid = (Bp // tile,)
-    kernel = functools.partial(
-        _kernel,
-        T=T,
-        packed=packed,
-        compute_dtype=compute_dtype,
-        precision=precision,
-        matmul=matmul,
-    )
-    last_out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((T, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (2 * HIDDEN, tile), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((2 * HIDDEN, Bp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((KDIM, tile), compute_dtype),
-            pltpu.VMEM((KDIM, tile), compute_dtype),
-            pltpu.VMEM((HIDDEN, tile), compute_dtype),
-            pltpu.VMEM((HIDDEN, tile), compute_dtype),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * Bp * T * GATES * KDIM,
-            bytes_accessed=Bp * T * 4 + 2 * GATES * KDIM * 4 + 2 * HIDDEN * Bp * 4,
-            transcendentals=2 * Bp * T * GATES,
-        ),
-        interpret=interpret,
-    )(
-        tokens.T,
-        gather.reshape(1, Bp),
-        lengths.reshape(1, Bp),
-        wcat_f,
-        wcat_b,
-        wlo_f,
-        wlo_b,
-    )
+        wcat3_f, tokw_f = prep3(params.w_ih_f, params.w_hh_f, params.b_f)
+        wcat3_b, tokw_b = prep3(params.w_ih_b, params.w_hh_b, params.b_b)
+        kernel = functools.partial(_kernel_x3cat, T=T, packed=packed)
+        last_out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=common_specs
+            + [
+                pl.BlockSpec(
+                    (GATES, 3 * HIDDEN), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (GATES, 3 * HIDDEN), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((GATES, OH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((GATES, OH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((HIDDEN, tile), jnp.float32),
+                pltpu.VMEM((HIDDEN, tile), jnp.float32),
+                pltpu.VMEM((HIDDEN, tile), jnp.float32),
+                pltpu.VMEM((HIDDEN, tile), jnp.float32),
+                pltpu.VMEM((3 * HIDDEN, tile), jnp.bfloat16),
+                pltpu.VMEM((3 * HIDDEN, tile), jnp.bfloat16),
+            ],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*common_args, wcat3_f, wcat3_b, tokw_f, tokw_b)
+    else:
+        wcat_f = _build_wcat(
+            params.w_ih_f, params.w_hh_f, params.b_f, compute_dtype
+        )
+        wcat_b = _build_wcat(
+            params.w_ih_b, params.w_hh_b, params.b_b, compute_dtype
+        )
+        kernel = functools.partial(
+            _kernel,
+            T=T,
+            packed=packed,
+            compute_dtype=compute_dtype,
+            precision=precision,
+        )
+        last_out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=common_specs
+            + [
+                pl.BlockSpec(
+                    (GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((KDIM, tile), compute_dtype),
+                pltpu.VMEM((KDIM, tile), compute_dtype),
+                pltpu.VMEM((HIDDEN, tile), compute_dtype),
+                pltpu.VMEM((HIDDEN, tile), compute_dtype),
+            ],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*common_args, wcat_f, wcat_b)
 
     logits = (
         jnp.dot(

@@ -42,20 +42,20 @@ def paired_final_labels(r1_logits, r2_logits, ensure: str):
 
 def paired_final_labels_jnp(r1_logits, r2_logits, ensure: str):
     """Device-side (jax.numpy) twin of paired_final_labels: lets the native
-    runtime reconcile pairs on-TPU and ship back one int32 label per pair
+    runtime reconcile pairs on-TPU and ship back one int8 label per pair
     instead of [2B, 2] fp32 logits (8x less device->host traffic)."""
     import jax.numpy as jnp
 
     if ensure == "none" or ensure is None:
-        return jnp.argmax(r1_logits + r2_logits, axis=1).astype(jnp.int32)
+        return jnp.argmax(r1_logits + r2_logits, axis=1).astype(jnp.int8)
     a1 = jnp.argmax(r1_logits, axis=1)
     a2 = jnp.argmax(r2_logits, axis=1)
     if ensure == "rrna":
-        return jnp.where((a1 == 1) & (a2 == 1), 1, 0).astype(jnp.int32)
+        return jnp.where((a1 == 1) & (a2 == 1), 1, 0).astype(jnp.int8)
     if ensure == "norrna":
-        return jnp.where((a1 == 0) & (a2 == 0), 0, 1).astype(jnp.int32)
+        return jnp.where((a1 == 0) & (a2 == 0), 0, 1).astype(jnp.int8)
     if ensure == "both":
-        return jnp.where(a1 == a2, a1, -1).astype(jnp.int32)
+        return jnp.where(a1 == a2, a1, -1).astype(jnp.int8)
     raise ValueError(f"unknown ensure mode: {ensure}")
 
 

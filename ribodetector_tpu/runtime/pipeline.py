@@ -129,11 +129,11 @@ class Predictor:
         transfer, unpacked on device (ops.unpack_b5_tokens); lengths is
         ignored (and never transferred) for dense semantics.
 
-        emit: "logits" -> [B, 2] fp32; "labels" -> [B] int32 per-read argmax;
-        ("pair_labels", ensure) -> [B//2] int32 final pair labels with R1 in
+        emit: "logits" -> [B, 2] fp32; "labels" -> [B] int8 per-read argmax;
+        ("pair_labels", ensure) -> [B//2] int8 final pair labels with R1 in
         rows [0, B//2) and R2 in rows [B//2, B) -- ensure-mode reconciliation
         runs on device (runtime/ensure.py paired_final_labels_jnp) and the
-        device->host result shrinks 8x.
+        device->host result shrinks 32x.
         """
         import jax
         import jax.numpy as jnp
@@ -160,7 +160,7 @@ class Predictor:
         if emit == "logits":
             post = lambda logits: logits
         elif emit == "labels":
-            post = lambda logits: jnp.argmax(logits, axis=1).astype(jnp.int32)
+            post = lambda logits: jnp.argmax(logits, axis=1).astype(jnp.int8)
         elif isinstance(emit, tuple) and emit[0] == "pair_labels":
             ensure = emit[1]
 
