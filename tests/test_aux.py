@@ -88,6 +88,79 @@ def test_inf_loop():
     assert [next(it) for _ in range(5)] == [1, 2, 1, 2, 1]
 
 
+def test_batch_size_formula_parity():
+    # literal reference formula (detect.py:555-570), inside the clamp range
+    import math
+
+    from ribodetector_tpu.runtime.batching import auto_batch_size
+
+    for mem, rlen, paired in [(32, 100, True), (32, 100, False), (12, 70, True),
+                              (16, 151, False), (64, 250, True)]:
+        k = 2 if paired else 1
+        ref = 2 ** math.floor(math.log2((mem - 2) * 1024 * 1024 / (k * rlen * 6.4)))
+        got = auto_batch_size(mem, rlen, paired)
+        assert got == max(256, min(1 << 17, ref))
+    # degenerate memory never returns < MIN_BATCH
+    assert auto_batch_size(2, 100, True) == 256
+
+
+def test_config_parser_init_obj_and_logger(tmp_path):
+    from ribodetector_tpu import models
+    from ribodetector_tpu.config import ConfigParser
+
+    cfg = ConfigParser(
+        {"arch": {"type": "load_params", "args": {}}, "x": 1}
+    )
+    assert cfg["x"] == 1 and cfg.get("missing", 5) == 5
+    # init_ftn reflective lookup (parse_config.py:43-57 semantics)
+    fn = cfg.init_ftn("arch", models)
+    assert callable(fn)
+    logfile = str(tmp_path / "run.log")
+    logger = cfg.get_logger("t", 2, logfile)
+    logger.info("hello-parity")
+    for h in list(logger.handlers):
+        h.flush()
+    assert "hello-parity" in open(logfile).read()
+
+
+def test_weight_selection_and_short_read_warning():
+    # quirk #6: "recall" weights iff ensure == norrna; quirk #12: reads < 40
+    # only warn (detect.py:54-71)
+    from types import SimpleNamespace
+
+    from ribodetector_tpu.config import ConfigParser
+    from ribodetector_tpu.runtime.pipeline import Predictor
+
+    cfg = ConfigParser(
+        {"state_file": {"mcc": "data/ribodetector_v1.npz",
+                        "recall": "data/ribodetector_v1.npz"}}
+    )
+
+    class Rec:
+        def __init__(self):
+            self.msgs = []
+
+        def info(self, m, *a):
+            self.msgs.append(str(m))
+
+        warning = info
+
+    def state_for(ensure, rlen=100):
+        args = SimpleNamespace(ensure=ensure, len=rlen, log=None)
+        p = Predictor(cfg, args)
+        p.logger = Rec()
+        p.get_state_file()
+        return p, " ".join(p.logger.msgs)
+
+    _, msgs = state_for("norrna")
+    assert "RECALL" in msgs
+    _, msgs = state_for("none")
+    assert "MCC" in msgs
+    p, msgs = state_for("none", rlen=20)  # warns, never raises
+    assert "shorter than 40" in msgs
+    assert p.state_file.endswith(".npz")
+
+
 def test_param_count_and_describe(ref_params_path):
     from ribodetector_tpu.models import load_params
     from ribodetector_tpu.models.bilstm import (
