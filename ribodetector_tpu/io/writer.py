@@ -18,8 +18,13 @@ def open_for_write(read_file: str):
 
 
 def open_for_write_bytes(read_file: str):
-    """Binary twin of open_for_write (same gzip level; used by the native
-    byte-gather writers -- output bytes are identical)."""
+    """Binary twin of open_for_write, used by the native byte-gather
+    writers. gz outputs go through io.gzfast.MemberGzipWriter: libdeflate
+    level 3, which matches the reference's zlib level 5 compression ratio
+    at ~3.5x the speed (gzfast module docstring); each batch payload is an
+    independent gzip member, which concatenates into a valid gzip file."""
     if read_file.endswith("gz"):
-        return gzip.open(read_file, mode="wb", compresslevel=5)
+        from ribodetector_tpu.io.gzfast import MemberGzipWriter
+
+        return MemberGzipWriter(open(read_file, "wb"))
     return open(read_file, "wb")

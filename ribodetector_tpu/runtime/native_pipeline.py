@@ -38,13 +38,12 @@ import json
 import os
 import queue
 import threading
-import zlib
-
 import numpy as np
 
 from ribodetector_tpu import native
 from ribodetector_tpu.io.fastx import seq_parser
 from ribodetector_tpu.io.format import get_seq_format
+from ribodetector_tpu.io.gzfast import RawInflater
 
 _BLOCK = 4 << 20
 _PAD_BYTE = 124  # base-5 packed all-pad trio: 4 + 5*4 + 25*4
@@ -66,9 +65,9 @@ class FastqChunkStream:
     a batch referencing it is still in flight.
 
     Multi-member gzip (pigz/bgzf, or our own resume-merged parts) is handled
-    by restarting the decompressor at each member boundary -- Python's gzip
-    module does the same; a single zlib.decompressobj would silently drop
-    everything after the first member.
+    by the RawInflater state machine (io/gzfast.py), which restarts raw
+    inflate at each member boundary and CRC-verifies every member trailer
+    with a vectorized crc32 -- ~2x the throughput of Python's gzip module.
 
     Slot sizing: with `depth` in-flight device batches (each possibly the
     only batch of its chunk, so each pinning one window) and `prefetch`
@@ -92,7 +91,7 @@ class FastqChunkStream:
         self.cap = records_per_chunk
         self._fh = open(path, "rb")
         self._gz = get_seq_format(path).endswith("gz")
-        self._dec = zlib.decompressobj(32 + zlib.MAX_WBITS) if self._gz else None
+        self._inf = RawInflater() if self._gz else None
         self._carry = b""  # compressed bytes awaiting decompression
         self._tail = b""  # decompressed partial record from the last window
         self._eof = False
@@ -127,6 +126,11 @@ class FastqChunkStream:
         return pos
 
     def _fill_gz(self, mv, pos, target):
+        # RawInflater (io/gzfast.py) handles member headers/trailers and
+        # multi-member restarts itself: raw inflate with vectorized trailer
+        # CRC verification runs ~2x faster than zlib's gzip wrapper (whose
+        # scalar per-byte CRC costs as much as the inflate itself).
+        inf = self._inf
         while pos < target and (self._carry or not self._eof):
             if self._carry:
                 raw, self._carry = self._carry, b""
@@ -135,26 +139,13 @@ class FastqChunkStream:
                 if not raw:
                     self._eof = True
                     self._fh.close()
-                    out = self._dec.flush()
+                    out = inf.flush()
                     mv[pos : pos + len(out)] = out
                     pos += len(out)
                     break
-            out = self._dec.decompress(raw, target - pos)
+            out, self._carry = inf.decompress(raw, target - pos)
             mv[pos : pos + len(out)] = out
             pos += len(out)
-            if self._dec.eof:
-                # gzip member boundary: restart for the next member. MUST be
-                # checked before unconsumed_tail -- when the member ends
-                # inside a max_length-truncated decompress call, zlib sets
-                # BOTH unconsumed_tail and unused_data to the leftover bytes,
-                # and re-feeding a finished decompressobj returns b"" forever
-                # (observed hang on multi-member files with small windows).
-                self._carry = self._dec.unused_data
-                self._dec = zlib.decompressobj(32 + zlib.MAX_WBITS)
-                if not self._carry and self._eof:
-                    break
-            elif self._dec.unconsumed_tail:
-                self._carry = self._dec.unconsumed_tail
         return pos
 
     def __iter__(self):

@@ -1,0 +1,140 @@
+"""io.gzfast: raw-inflate streaming reader + libdeflate member writer."""
+
+import gzip
+import io
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ribodetector_tpu.io.gzfast import (
+    BadGzipFile,
+    MemberGzipWriter,
+    RawInflater,
+    crc32,
+)
+
+
+def drain(inf, blob, block=997, max_length=1 << 20):
+    """Feed blob in odd-sized blocks, collecting all output."""
+    out = []
+    carry = b""
+    pos = 0
+    while pos < len(blob) or carry:
+        if carry:
+            raw, carry = carry, b""
+        else:
+            raw = blob[pos : pos + block]
+            pos += block
+        o, carry = inf.decompress(raw, max_length)
+        out.append(o)
+    out.append(inf.flush())
+    return b"".join(out)
+
+
+def test_crc32_matches_zlib(rng):
+    data = rng.integers(0, 256, 100000).astype(np.uint8).tobytes()
+    assert crc32(data) == zlib.crc32(data)
+    # incremental
+    c = crc32(data[:1234])
+    assert crc32(data[1234:], c) == zlib.crc32(data)
+
+
+def test_single_member_roundtrip(rng):
+    data = rng.integers(0, 256, 300000).astype(np.uint8).tobytes()
+    assert drain(RawInflater(), gzip.compress(data, 5)) == data
+
+
+def test_multi_member_and_tiny_blocks(rng):
+    parts = [bytes([65 + i]) * (1000 + i) for i in range(5)]
+    blob = b"".join(gzip.compress(p) for p in parts)
+    for block in (1, 7, 64, 10**6):
+        inf = RawInflater()
+        assert drain(inf, blob, block=block) == b"".join(parts)
+        assert inf.members == 5
+        assert not inf.mid_stream
+
+
+def test_max_length_cap_at_member_boundary():
+    # the zlib quirk that hung the old code: member ends inside a
+    # max_length-truncated call (both unconsumed_tail and unused_data set)
+    blob = gzip.compress(b"x" * 5000) + gzip.compress(b"y" * 5000)
+    inf = RawInflater()
+    out, carry = inf.decompress(blob, 200)
+    total = out
+    for _ in range(200):
+        if not carry:
+            break
+        out, carry = inf.decompress(carry, 200)
+        total += out
+    assert total == b"x" * 5000 + b"y" * 5000
+    assert inf.members == 2
+
+
+def test_header_variants():
+    data = b"payload-bytes" * 100
+    # FNAME + FCOMMENT + FHCRC + FEXTRA, hand-built header
+    body = zlib.compress(data, 6)[2:-4]  # raw deflate
+    hdr = bytearray(b"\x1f\x8b\x08")
+    hdr.append(2 | 4 | 8 | 16)  # FHCRC | FEXTRA | FNAME | FCOMMENT
+    hdr += b"\0\0\0\0\x00\xff"
+    extra = b"BC\x02\x00\x42\x00"
+    hdr += struct.pack("<H", len(extra)) + extra
+    hdr += b"some name\0"
+    hdr += b"a comment\0"
+    hdr += struct.pack("<H", zlib.crc32(bytes(hdr)) & 0xFFFF)
+    blob = (
+        bytes(hdr)
+        + body
+        + struct.pack("<II", zlib.crc32(data), len(data) & 0xFFFFFFFF)
+    )
+    assert gzip.decompress(blob) == data  # sanity: stdlib agrees it's valid
+    for block in (3, 50000):
+        assert drain(RawInflater(), blob, block=block) == data
+
+
+def test_crc_mismatch_raises():
+    blob = bytearray(gzip.compress(b"z" * 4096))
+    blob[-5] ^= 0xFF  # corrupt stored CRC
+    with pytest.raises(BadGzipFile, match="CRC"):
+        drain(RawInflater(), bytes(blob))
+    # corrupted ISIZE
+    blob = bytearray(gzip.compress(b"z" * 4096))
+    blob[-1] ^= 0xFF
+    with pytest.raises(BadGzipFile, match="length"):
+        drain(RawInflater(), bytes(blob))
+
+
+def test_not_gzip_raises():
+    with pytest.raises(BadGzipFile, match="Not a gzipped"):
+        RawInflater().decompress(b"@r1\nACGT\n+\nIIII\n", 100)
+
+
+def test_member_writer_roundtrip(rng):
+    buf = io.BytesIO()
+    w = MemberGzipWriter(buf)
+    payloads = [
+        rng.integers(65, 91, n).astype(np.uint8).tobytes() for n in (10, 100000, 3)
+    ]
+    for p in payloads:
+        w.write(p)
+    w.write(b"")  # no empty member emitted
+    w.write(memoryview(bytearray(b"tail-payload")))  # zero-copy path
+    w.flush()
+    blob = buf.getvalue()  # before close(): close() closes the sink too
+    w.close()
+    assert gzip.decompress(blob) == b"".join(payloads) + b"tail-payload"
+    # and our own reader handles the multi-member output
+    assert drain(RawInflater(), blob) == b"".join(payloads) + b"tail-payload"
+
+
+def test_open_for_write_bytes_gz_content(tmp_path):
+    from ribodetector_tpu.io.writer import open_for_write_bytes
+
+    path = str(tmp_path / "out.fq.gz")
+    fh = open_for_write_bytes(path)
+    fh.write(b"@r\nACGT\n+\nIIII\n")
+    fh.close()
+    with gzip.open(path, "rb") as gz:
+        assert gz.read() == b"@r\nACGT\n+\nIIII\n"
