@@ -73,7 +73,7 @@ def measure_tpu():
         logits = bilstm_logits_pallas(
             params, unpack_b5_tokens(ptok, T), semantics="dense", matmul=mode
         )
-        return jnp.argmax(logits, axis=1).astype(jnp.int32)
+        return jnp.argmax(logits, axis=1).astype(jnp.int8)
 
     ptoks = [native.pack_b5(rng.integers(0, 5, (B, T)).astype(np.uint8))
              for _ in range(4)]

@@ -391,7 +391,9 @@ class NativeRunner:
                 st[bs + nb :] = _PAD_BYTE
         elif nb < len(st):
             st[nb:] = _PAD_BYTE
-        st_dev = jax.device_put(st)
+        # device_put with the predictor's input sharding: on a multi-chip
+        # host the staged batch splits across the data mesh directly
+        st_dev = jax.device_put(st, self.p.input_sharding)
         if self._need_lengths:
             sl[:nb] = len1
             if tok2 is not None:
@@ -401,7 +403,7 @@ class NativeRunner:
                     sl[bs + nb :] = 0
             else:
                 sl[nb:] = 0
-            return self._infer(st_dev, jax.device_put(sl))
+            return self._infer(st_dev, jax.device_put(sl, self.p.length_sharding))
         return self._infer(st_dev)
 
     # -- writing -------------------------------------------------------

@@ -109,9 +109,29 @@ class Predictor:
             "precision", "high"
         )
         self.device = jax.devices()[0]
+        # Multi-chip: every visible device joins a 1-D data mesh (weights
+        # replicated -- 554 KB -- batch rows sharded on ICI). The reference's
+        # counterpart is the latent torch DataParallel branch (detect.py:95-96);
+        # here it is on by default whenever >1 chip is visible. Batches are
+        # always padded to a power-of-two row count, so any power-of-two
+        # device count divides them; otherwise fall back to one device.
+        self.mesh = None
+        self.input_sharding = None
+        self.length_sharding = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and (n_dev & (n_dev - 1)) == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ribodetector_tpu.parallel.mesh import make_data_mesh
+
+            self.mesh = make_data_mesh()
+            self.input_sharding = NamedSharding(self.mesh, PartitionSpec("data", None))
+            self.length_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
         self.logger.info(
-            "Model using {} for read length {}{}{}{} loaded".format(
+            "Model using {} ({} device{}) for read length {}{}{}{} loaded".format(
                 self.device.platform,
+                n_dev,
+                "s" if n_dev != 1 else "",
                 colors.BOLD,
                 colors.OKCYAN,
                 self.len,
@@ -142,7 +162,12 @@ class Predictor:
         from ribodetector_tpu.ops.dispatch import unpack_b5_tokens
         from ribodetector_tpu.runtime.ensure import paired_final_labels_jnp
 
-        params = jax.device_put(self.params, self.device)
+        if self.mesh is not None:
+            from ribodetector_tpu.parallel.mesh import replicated
+
+            params = jax.device_put(self.params, replicated(self.mesh))
+        else:
+            params = jax.device_put(self.params, self.device)
         semantics = self.semantics
         compute_dtype = jnp.dtype(self.compute_dtype).type
         kernel = self.kernel
@@ -172,19 +197,45 @@ class Predictor:
         else:
             raise ValueError(f"unknown emit: {emit}")
 
-        def classify(tokens, lengths):
-            return post(
-                classify_logits(
-                    params,
-                    tokens,
-                    lengths,
-                    semantics=semantics,
-                    compute_dtype=compute_dtype,
-                    precision=precision,
-                    kernel=kernel,
-                    matmul=matmul,
-                )
+        def core(tokens, lengths):
+            return classify_logits(
+                params,
+                tokens,
+                lengths,
+                semantics=semantics,
+                compute_dtype=compute_dtype,
+                precision=precision,
+                kernel=kernel,
+                matmul=matmul,
             )
+
+        if self.mesh is not None:
+            # Batch rows shard over the 1-D data mesh. shard_map (not bare
+            # GSPMD) so the Pallas kernel runs as an ordinary per-device
+            # call on its local block; `post` stays outside, where pair
+            # reconciliation's cross-half add lowers to an ICI collective.
+            from jax.sharding import PartitionSpec as P
+
+            core_sharded = jax.shard_map(
+                core,
+                mesh=self.mesh,
+                in_specs=(P("data", None), P("data")),
+                out_specs=P("data", None),
+                # per-row-independent compute: the varying-manual-axes check
+                # rejects the scan's replicated zero-init carry (jax 0.9)
+                check_vma=False,
+            )
+
+            def core2(tokens, lengths):
+                if lengths is None:  # dense semantics never reads lengths
+                    lengths = jnp.zeros(tokens.shape[0], jnp.int32)
+                return core_sharded(tokens, lengths)
+
+        else:
+            core2 = core
+
+        def classify(tokens, lengths):
+            return post(core2(tokens, lengths))
 
         if packed_max_len is None:
 

@@ -44,6 +44,36 @@ def test_dp_tp_mesh_shapes():
     assert mesh.devices.shape == (5, 1)
 
 
+def test_predictor_autoshards_over_all_devices(ref_params_path, rng):
+    """The CLI engine picks up every visible device automatically (the
+    reference's counterpart, torch DataParallel, is latent/broken --
+    SURVEY.md C8). Sharded logits must match the single-device forward."""
+    from types import SimpleNamespace
+
+    from ribodetector_tpu.config import ConfigParser
+    from ribodetector_tpu.runtime.pipeline import Predictor
+
+    cfg = ConfigParser(
+        {"state_file": {"mcc": ref_params_path, "recall": ref_params_path}}
+    )
+    args = SimpleNamespace(
+        ensure="none", len=50, log=None, semantics=None, precision=None
+    )
+    p = Predictor(cfg, args)
+    p.load_model()
+    assert p.mesh is not None and p.mesh.devices.size == 8
+    assert p.input_sharding is not None
+    seqs = random_reads(rng, 64, lmin=20, lmax=50)
+    tokens, lengths = encode_batch(seqs, 50)
+    got = np.asarray(p._infer(tokens, lengths))
+    want = np.asarray(
+        bilstm_logits(
+            load_params(ref_params_path), jnp.asarray(tokens), semantics="dense"
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__
 
