@@ -1,4 +1,4 @@
-"""ctypes loader for the native FASTQ parser/encoder (fastx.cpp).
+"""ctypes loader for the native FASTQ/FASTA parsers + encoders (fastx.cpp).
 
 The shared object is built on first use with g++ (no Python headers needed:
 plain C ABI). If no compiler is available the engine transparently falls
@@ -53,6 +53,14 @@ def _load():
                 ctypes.c_char_p, i64, i64, ctypes.c_int32, ctypes.c_int32,
                 p(ctypes.c_int64), p(ctypes.c_uint8), p(ctypes.c_int32),
                 p(ctypes.c_uint8), p(ctypes.c_int64),
+            ]
+            lib.rd_parse_fasta_b5.restype = i64
+            lib.rd_parse_fasta_b5.argtypes = [
+                ctypes.c_char_p, i64, ctypes.c_int32,
+                i64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_char_p, i64,
+                p(ctypes.c_int64), p(ctypes.c_uint8), p(ctypes.c_int32),
+                p(ctypes.c_int64), p(ctypes.c_int64),
             ]
             lib.rd_count_newlines.restype = i64
             lib.rd_count_newlines.argtypes = [ctypes.c_char_p, i64]

@@ -187,6 +187,127 @@ int64_t rd_parse_fastq_b5(
     return rec;
 }
 
+// FASTA chunk parser + normalizer + base-5 packed encoder.
+//
+// Reference FASTA semantics (ribodetector/data_loader/fastx_parser.py:40-55,
+// mirrored by io/fastx.py seq_parser): every line is strip()-ed, blank lines
+// are skipped, a '>' line starts a record, sequence lines are UPPERCASED and
+// concatenated; a record completes when the next '>' appears, or at EOF
+// (where a trailing record with an empty sequence is dropped). Because the
+// reference re-emits records as header + single-line uppercased sequence,
+// output for FASTA is NOT a verbatim slice of the input -- so this parser
+// writes the NORMALIZED record text ("header\nSEQ\n") into `norm` and the
+// offsets index into that buffer (writers gather from it exactly like the
+// FASTQ path gathers from the raw window). norm never outgrows the input
+// (normalization only removes bytes), so norm_cap >= n suffices.
+//
+// at_eof: nonzero when buf ends the file -- finalizes the trailing record
+// (a last line without a newline counts as a line, like Python iteration).
+// consumed: input-byte resume point (start of the unfinished record).
+int64_t rd_parse_fasta_b5(
+    const char* buf, int64_t n, int32_t at_eof,
+    int64_t max_records, int32_t max_len, int32_t packed_len,
+    char* norm, int64_t norm_cap,
+    int64_t* offsets, uint8_t* packed, int32_t* lengths,
+    int64_t* consumed, int64_t* norm_used)
+{
+    const char* p = buf;
+    const char* end = buf + n;
+    int64_t rec = 0;
+    int64_t nw = *norm_used;  // append position in norm (caller resets)
+    *consumed = 0;
+
+    // scan one stripped line; returns false if the line is incomplete
+    // (no newline and not at_eof). ls/le = stripped extent, next = byte
+    // after the line (start of the following line).
+    auto next_line = [&](const char* q, const char*& ls, const char*& le,
+                         const char*& next) -> bool {
+        const char* nl = find_nl(q, end);
+        const char* e;
+        if (nl) { e = nl; next = nl + 1; }
+        else if (at_eof && q < end) { e = end; next = end; }
+        else return false;
+        while (q < e && ws(*q)) ++q;
+        while (e > q && ws(e[-1])) --e;
+        ls = q; le = e;
+        return true;
+    };
+
+    while (rec < max_records && p < end) {
+        // find the record's header line (skip blanks / pre-header junk)
+        const char* rec_raw_start = p;
+        const char* ls; const char* le; const char* nx;
+        if (!next_line(p, ls, le, nx)) break;
+        if (ls == le || *ls != '>') { p = nx; *consumed = p - buf; continue; }
+
+        // collect sequence lines until the next header / end of data
+        int64_t hdr_len = le - ls;
+        int64_t norm_start = nw;
+        if (nw + hdr_len + 1 > norm_cap) break;  // norm full (caller grows)
+        memcpy(norm + nw, ls, static_cast<size_t>(hdr_len));
+        nw += hdr_len;
+        norm[nw++] = '\n';
+
+        uint8_t* prow = packed + rec * static_cast<int64_t>(packed_len);
+        int32_t L = 0;          // encoded length (clipped to max_len)
+        uint8_t trio[3];
+        int32_t tfill = 0;
+        int32_t pj = 0;
+        bool complete = false;
+        const char* q = nx;
+        const char* resume = q;
+        while (true) {
+            const char* sls; const char* sle; const char* snx;
+            if (!next_line(q, sls, sle, snx)) {
+                complete = at_eof != 0;
+                resume = q;
+                break;
+            }
+            if (sls < sle && *sls == '>') {  // next record begins
+                complete = true;
+                resume = q;  // raw start of the next header's line
+                break;
+            }
+            if (sls == sle) { q = snx; continue; }  // blank line
+            // uppercase + append to norm, encode into the packed row
+            if (nw + (sle - sls) + 1 > norm_cap) { complete = false; break; }
+            for (const char* c = sls; c < sle; ++c) {
+                char u = (*c >= 'a' && *c <= 'z') ? static_cast<char>(*c - 32) : *c;
+                norm[nw++] = u;
+                if (L < max_len) {
+                    trio[tfill++] = LUT.t[static_cast<unsigned char>(u)];
+                    if (tfill == 3) {
+                        prow[pj++] = static_cast<uint8_t>(
+                            trio[0] + 5 * trio[1] + 25 * trio[2]);
+                        tfill = 0;
+                    }
+                    ++L;
+                }
+            }
+            q = snx;
+        }
+        if (!complete) { nw = norm_start; break; }
+        bool empty_seq = (nw == norm_start + hdr_len + 1);
+        if (empty_seq && resume >= end) { nw = norm_start; break; }  // trailing empty: drop
+        norm[nw++] = '\n';
+        if (tfill) {
+            uint8_t t1 = (tfill > 1) ? trio[1] : 4;
+            prow[pj++] = static_cast<uint8_t>(trio[0] + 5 * t1 + 25 * 4);
+        }
+        for (; pj < packed_len; ++pj) prow[pj] = 124;
+
+        offsets[rec * 2] = norm_start;
+        offsets[rec * 2 + 1] = nw;
+        lengths[rec] = L;
+        ++rec;
+        p = resume;
+        *consumed = p - buf;
+        (void)rec_raw_start;
+    }
+    *norm_used = nw;
+    return rec;
+}
+
 // Count newline characters in buf[0..n) (for sizing record arrays).
 int64_t rd_count_newlines(const char* buf, int64_t n) {
     int64_t c = 0;

@@ -1,6 +1,7 @@
-"""Native FASTQ fast path: zero-per-read-Python streaming runtime.
+"""Native fast path: zero-per-read-Python streaming runtime (FASTQ + FASTA).
 
-Replaces the hot host loops for FASTQ inputs (the production format). Per
+Replaces the hot host loops for FASTQ inputs (the production format) and,
+via FastaChunkStream's normalizing parser, FASTA inputs. Per
 chunk of R records, ONE native call parses + token-encodes the decompressed
 byte buffer (native/fastx.cpp), batches are numpy views copied into reusable
 padded staging buffers, and output files are written as verbatim byte-range
@@ -28,9 +29,9 @@ Pipeline shape (measured on the v5e host, 2M x 100bp reads):
 
 All large buffers are allocated once and reused: this host's first-touch
 page faults are slow, so per-batch np.empty/np.full of tens of MB would
-dominate the run. FASTA (and FASTQ with CRLF/trailing whitespace, flagged
-per-record by the native parser) falls back to the portable Python path
-with identical behavior.
+dominate the run. FASTQ records with CRLF/trailing whitespace (flagged per-record by the
+native parser) fall back to the portable Python path with identical
+behavior; FASTA is handled natively by FastaChunkStream.
 """
 
 import io
@@ -244,6 +245,97 @@ class FastqChunkStream:
             )
             if self._eof and not self._carry and not self._tail:
                 return
+
+
+class FastaChunkStream(FastqChunkStream):
+    """FASTA twin of FastqChunkStream. The reference re-emits FASTA records
+    as stripped header + single-line UPPERCASED concatenated sequence
+    (fastx_parser.py:40-55), so output is not a verbatim input slice; the
+    native parser (fastx.cpp rd_parse_fasta_b5) writes that normalized text
+    into a per-slot buffer and offsets index into it. Everything downstream
+    (byte-gather writers, batching, resume) is shared with the FASTQ path.
+    Records are always 'clean' by construction (normalization IS the
+    reference text)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._norms = [bytearray(self.win_bytes) for _ in range(self.slots)]
+
+    def __iter__(self):
+        lib = native._load()
+        import ctypes
+
+        pl = native.b5_packed_len(self.max_len)
+        while True:
+            win, offsets, ptokens, lengths, clean = self._slots[self._si]
+            norm = self._norms[self._si]
+            self._si = (self._si + 1) % self.slots
+            mv = memoryview(win)
+            pos = len(self._tail)
+            mv[:pos] = self._tail
+            target = min(
+                self.win_bytes, pos + int(self.cap * self._avg_rec * 1.05) + 4096
+            )
+            pos = (
+                self._fill_gz(mv, pos, target)
+                if self._gz
+                else self._fill_plain(mv, pos, target)
+            )
+            del mv
+            if pos == 0:
+                return
+            # everything left of the file is in this window iff _eof with no
+            # carry -- only then may the trailing record finalize
+            at_eof = 1 if (self._eof and not self._carry) else 0
+            consumed = np.zeros(1, np.int64)
+            norm_used = np.zeros(1, np.int64)
+            buf = (ctypes.c_char * pos).from_buffer(win)
+            nbuf = (ctypes.c_char * len(norm)).from_buffer(norm)
+            n = lib.rd_parse_fasta_b5(
+                buf,
+                pos,
+                at_eof,
+                self.cap,
+                self.max_len,
+                pl,
+                nbuf,
+                len(norm),
+                native._ptr(offsets, ctypes.c_int64),
+                native._ptr(ptokens, ctypes.c_uint8),
+                native._ptr(lengths, ctypes.c_int32),
+                native._ptr(consumed, ctypes.c_int64),
+                native._ptr(norm_used, ctypes.c_int64),
+            )
+            del buf, nbuf  # release the buffer exports
+            used = int(consumed[0])
+            if n == 0:
+                if at_eof:
+                    return  # trailing junk / dropped empty-sequence record
+                if pos >= self.win_bytes:
+                    raise RuntimeError(
+                        "FASTA record larger than the {} MB parse window".format(
+                            self.win_bytes >> 20
+                        )
+                    )
+                self._avg_rec = min(self._avg_rec * 2, float(self.win_bytes))
+                self._tail = bytes(win[:pos])
+                continue
+            self._avg_rec = 0.5 * self._avg_rec + 0.5 * (used / n)
+            self._tail = bytes(win[used:pos])
+            clean[:n] = 1
+            yield (norm, offsets[:n], ptokens[:n], lengths[:n], clean[:n], n)
+            if self._eof and not self._carry and not self._tail:
+                return
+
+
+def make_chunk_stream(path, max_len, records_per_chunk, **kwargs):
+    """FastqChunkStream or FastaChunkStream by file extension."""
+    cls = (
+        FastaChunkStream
+        if get_seq_format(path).startswith("fa")
+        else FastqChunkStream
+    )
+    return cls(path, max_len, records_per_chunk, **kwargs)
 
 
 class _Prefetcher:
@@ -475,7 +567,7 @@ class NativeRunner:
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
         bs = self.dbs
-        stream = FastqChunkStream(
+        stream = make_chunk_stream(
             p.input[0],
             p.len,
             self._records_per_chunk(),
@@ -574,10 +666,10 @@ class NativeRunner:
         num_read = 0
         bs = self.dbs
         rpc = self._records_per_chunk()
-        s1 = FastqChunkStream(
+        s1 = make_chunk_stream(
             p.input[0], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
         )
-        s2 = FastqChunkStream(
+        s2 = make_chunk_stream(
             p.input[1], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
         )
         it1, it2 = iter(s1), iter(s2)

@@ -337,20 +337,15 @@ class Predictor:
             self.logger.info(self.timer.summary())
 
     def _use_native(self):
-        """Native FASTQ fast path: all inputs FASTQ and the C++ parser built.
-        runtime.native=false in the config forces the portable path."""
-        from ribodetector_tpu.io.format import get_seq_format
-
+        """Native fast path: the C++ parser built (FASTQ and FASTA chunk
+        streams both native -- runtime/native_pipeline.py). runtime.native=
+        false in the config forces the portable path."""
         if self.config.get("runtime", {}).get("native", True) is False:
             return False
         try:
             from ribodetector_tpu import native
 
-            if not native.available():
-                return False
-            return all(
-                get_seq_format(f).startswith("fq") for f in self.input
-            )
+            return native.available()
         except Exception:
             return False
 

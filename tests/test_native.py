@@ -175,3 +175,108 @@ def test_cli_native_gz_roundtrip(tmp_path, torch_reference):
     with gzip.open(out, "rt") as fh:
         headers = [l for i, l in enumerate(fh.read().splitlines()) if i % 4 == 0]
     assert headers == [f"@g{i}" for i, l in enumerate(labels) if l == 0]
+
+
+# ---------------------------------------------------------------- FASTA
+
+
+def _fasta_stream_records(path, max_len=100, cap=1000):
+    from ribodetector_tpu.runtime.native_pipeline import FastaChunkStream
+
+    recs, toks, lens = [], [], []
+    for data, offsets, ptokens, lengths, clean, n in FastaChunkStream(
+        str(path), max_len, cap
+    ):
+        assert clean[:n].all()
+        for i in range(n):
+            s, e = offsets[i]
+            recs.append(bytes(data[s:e]).decode())
+        toks.append(ptokens[:n].copy())
+        lens.append(lengths[:n].copy())
+    return recs, np.concatenate(toks) if toks else None, (
+        np.concatenate(lens) if lens else None
+    )
+
+
+def test_fasta_stream_normalization_matches_python(tmp_path):
+    """Multiline, lowercase, blank lines, CRLF, mid-file empty record,
+    trailing empty record (dropped) -- normalized text must equal the
+    reference parser's re-emitted records."""
+    raw = (
+        ">r1 first\nacgt\nACGT\n\n"  # lowercase + multiline + blank
+        ">r2\r\nAC GT\r\nnn\r\n"  # CRLF (strip parity); inner space stays
+        ">r3_empty\n"  # mid-file record with empty sequence
+        ">r4\nTTTT\n"
+        ">trailing_empty\n\n"  # trailing empty sequence: dropped
+    )
+    path = tmp_path / "t.fa"
+    path.write_text(raw)
+    with open(path) as fh:
+        want = list(seq_parser(fh, "fasta"))
+    # sanity: the python parser shows the quirks we claim
+    assert want[0] == (">r1 first", "ACGTACGT")
+    assert want[2] == (">r3_empty", "")
+    assert [h for h, _ in want] == [">r1 first", ">r2", ">r3_empty", ">r4"]
+
+    recs, ptoks, lens = _fasta_stream_records(path, max_len=10)
+    assert recs == [f"{h}\n{s}\n" for h, s in want]
+    # token parity with the portable encoder on the parsed sequences
+    from ribodetector_tpu.ops.dispatch import unpack_b5_tokens
+    import jax.numpy as jnp
+
+    toks = np.asarray(unpack_b5_tokens(jnp.asarray(ptoks), 10))
+    want_toks, want_lens = encode_batch([s for _, s in want], 10)
+    np.testing.assert_array_equal(toks, want_toks)
+    np.testing.assert_array_equal(lens, want_lens)
+
+
+def test_fasta_stream_gz_and_small_caps(tmp_path, rng):
+    seqs = []
+    for i in range(97):
+        L = int(rng.integers(30, 200))
+        s = "".join(rng.choice(list("ACGTacgtn"), size=L))
+        seqs.append(s)
+    raw = "".join(
+        f">f{i} d\n" + "\n".join(s[j : j + 60] for j in range(0, len(s), 60)) + "\n"
+        for i, s in enumerate(seqs)
+    )
+    path = tmp_path / "m.fa.gz"
+    with gzip.open(path, "wt") as fh:
+        fh.write(raw)
+    for cap in (5, 1000):
+        recs, _, lens = _fasta_stream_records(path, max_len=100, cap=cap)
+        assert len(recs) == 97
+        for i, (r, s) in enumerate(zip(recs, seqs)):
+            assert r == f">f{i} d\n{s.upper()}\n"
+        np.testing.assert_array_equal(
+            lens, np.minimum([len(s) for s in seqs], 100)
+        )
+
+
+def test_cli_native_fasta_end2end(tmp_path, torch_reference):
+    """FASTA through the native path: partition matches torch ground truth
+    and output records are the reference's normalized form."""
+    from ribodetector_tpu.cli import main as cli_main
+    from ribodetector_tpu.encode import tokens_to_onehot_np
+
+    dense_logits, _ = torch_reference
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(200)]
+    inp = tmp_path / "in.fasta"
+    with open(inp, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">a{i}\n{s[:30].lower()}\n{s[30:]}\n")
+    out = tmp_path / "o.fa"
+    rr = tmp_path / "r.fa.gz"
+    cli_main(["-l", "60", "-i", str(inp), "-o", str(out), "-r", str(rr), "-m", "3"])
+    # ground truth: parser uppercases, so the lowercase half still encodes
+    tokens, _ = encode_batch([s.upper() for s in seqs], 60)
+    labels = dense_logits(tokens_to_onehot_np(tokens)).argmax(1)
+    lines = out.read_text().splitlines()
+    got = {lines[i]: lines[i + 1] for i in range(0, len(lines), 2)}
+    want = {f">a{i}": seqs[i] for i, l in enumerate(labels) if l == 0}
+    assert got == want
+    with gzip.open(rr, "rt") as fh:
+        rlines = fh.read().splitlines()
+    got_r = {rlines[i]: rlines[i + 1] for i in range(0, len(rlines), 2)}
+    assert got_r == {f">a{i}": seqs[i] for i, l in enumerate(labels) if l == 1}
