@@ -73,13 +73,59 @@ def convert_checkpoint(pth_path: str, npz_path: str) -> dict:
     return meta
 
 
+def arrays_to_state_dict(params) -> dict:
+    """Inverse of state_dict_to_arrays: native layout -> torch nn.LSTM
+    state-dict layout (gate order i,f,g,o). The native artifact stores the
+    SUM of torch's redundant bias pair, so the export puts the whole bias
+    in bias_ih_l0* and zeros in bias_hh_l0* -- functionally identical
+    (the LSTM cell only ever uses their sum)."""
+    import numpy as np
+
+    def t(x):
+        return np.asarray(x, dtype=np.float32)
+
+    out = {
+        "rnn.weight_ih_l0": t(params.w_ih_f).T.copy(),
+        "rnn.weight_hh_l0": t(params.w_hh_f).T.copy(),
+        "rnn.bias_ih_l0": t(params.b_f),
+        "rnn.bias_hh_l0": np.zeros_like(t(params.b_f)),
+        "rnn.weight_ih_l0_reverse": t(params.w_ih_b).T.copy(),
+        "rnn.weight_hh_l0_reverse": t(params.w_hh_b).T.copy(),
+        "rnn.bias_ih_l0_reverse": t(params.b_b),
+        "rnn.bias_hh_l0_reverse": np.zeros_like(t(params.b_b)),
+        "out.weight": t(params.w_out).T.copy(),
+        "out.bias": t(params.b_out),
+    }
+    return out
+
+
+def export_checkpoint(npz_path: str, pth_path: str) -> dict:
+    """Export a native .npz artifact back to a torch .pth state dict, the
+    layout the reference's tooling consumes (detect.py:101,115-116,
+    convert_onnx.py:29-31) -- so weights trained here can round-trip into
+    the reference or its ONNX exporter."""
+    import torch
+
+    from ribodetector_tpu.models.bilstm import load_params, load_params_meta
+
+    params = load_params(npz_path)
+    state = {k: torch.from_numpy(v) for k, v in arrays_to_state_dict(params).items()}
+    meta = load_params_meta(npz_path)
+    torch.save({"state_dict": state, "meta": meta}, pth_path)
+    return meta
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) != 2:
         print(__doc__)
         raise SystemExit(2)
-    meta = convert_checkpoint(argv[0], argv[1])
-    print("wrote", argv[1], "meta:", meta)
+    src, dst = argv
+    if src.endswith(".npz"):
+        meta = export_checkpoint(src, dst)
+    else:
+        meta = convert_checkpoint(src, dst)
+    print("wrote", dst, "meta:", meta)
 
 
 if __name__ == "__main__":

@@ -175,8 +175,21 @@ def fit(
     mesh: Mesh | None = None,
     eval_data=None,
     log_fn=print,
+    checkpoint_dir=None,
+    monitor="mcc",
 ):
-    """Minimal in-memory training loop. data = (tokens, lengths, labels)."""
+    """Minimal in-memory training loop. data = (tokens, lengths, labels).
+
+    checkpoint_dir: save a native .npz artifact per epoch (metadata carries
+    arch/epoch/batch_size/metrics, mirroring the reference checkpoint's
+    embedded keys -- SURVEY.md C7) plus `best.npz` tracking the best
+    `monitor` metric on eval_data. Artifacts load with models.load_params
+    and export back to torch via models.convert (export_checkpoint).
+    """
+    import os
+
+    from ribodetector_tpu.models.bilstm import save_params
+
     cfg = cfg or TrainConfig()
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
@@ -185,6 +198,7 @@ def fit(
 
     tokens, lengths, labels = data
     n = len(labels)
+    best = None
     for epoch in range(epochs):
         perm = np.random.default_rng(epoch).permutation(n)
         losses = []
@@ -194,9 +208,26 @@ def fit(
                 params, opt_state, tokens[idx], lengths[idx], labels[idx]
             )
             losses.append(float(loss))
-        msg = f"epoch {epoch}: loss {np.mean(losses):.4f}"
+        metrics = {"train_loss": float(np.mean(losses))}
+        msg = f"epoch {epoch}: loss {metrics['train_loss']:.4f}"
         if eval_data is not None:
             m = eval_step(params, *map(jnp.asarray, eval_data))
+            metrics.update({k: float(v) for k, v in m.items()})
             msg += " " + " ".join(f"{k} {float(v):.4f}" for k, v in m.items())
         log_fn(msg)
+        if checkpoint_dir is not None:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            meta = {
+                "arch": "BiLSTM 4x128x2 bidirectional",
+                "epoch": epoch,
+                "batch_size": batch_size,
+                "metrics": metrics,
+            }
+            save_params(
+                os.path.join(checkpoint_dir, f"epoch{epoch:03d}.npz"), params, meta
+            )
+            score = metrics.get(monitor, -metrics["train_loss"])
+            if best is None or score > best:
+                best = score
+                save_params(os.path.join(checkpoint_dir, "best.npz"), params, meta)
     return params

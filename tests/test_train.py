@@ -83,3 +83,60 @@ def test_checkpoint_metrics_recorded(ref_params_path):
     meta = load_params_meta(ref_params_path)
     assert meta["metrics"]["val_acc"] == pytest.approx(0.99300, abs=1e-4)
     assert meta["epoch"] == 47
+
+
+def test_fit_checkpoints_and_best(tmp_path, rng):
+    from ribodetector_tpu.models import load_params
+    from ribodetector_tpu.models.bilstm import init_params, load_params_meta
+    from ribodetector_tpu.train.trainer import TrainConfig, fit, synthetic_dataset
+    import jax
+
+    data = synthetic_dataset(rng, 192, max_len=40)
+    params = init_params(jax.random.PRNGKey(0))
+    ckdir = tmp_path / "ck"
+    fit(
+        params,
+        data,
+        TrainConfig(learning_rate=1e-2),
+        epochs=2,
+        batch_size=64,
+        eval_data=data,
+        log_fn=lambda m: None,
+        checkpoint_dir=str(ckdir),
+    )
+    files = sorted(f.name for f in ckdir.iterdir())
+    assert files == ["best.npz", "epoch000.npz", "epoch001.npz"]
+    meta = load_params_meta(str(ckdir / "epoch001.npz"))
+    assert meta["epoch"] == 1 and "mcc" in meta["metrics"]
+    load_params(str(ckdir / "best.npz"))  # loads back into the engine
+
+
+def test_export_checkpoint_roundtrip(tmp_path, ref_params_path, torch_reference):
+    """npz -> torch .pth export reproduces the reference model's logits."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from ribodetector_tpu.models.convert import export_checkpoint
+
+    pth = str(tmp_path / "export.pth")
+    export_checkpoint(ref_params_path, pth)
+    state = torch.load(pth, map_location="cpu", weights_only=True)["state_dict"]
+    rnn = nn.LSTM(4, 128, 1, batch_first=True, bidirectional=True)
+    head = nn.Linear(256, 2)
+    rnn.load_state_dict({k[4:]: v for k, v in state.items() if k.startswith("rnn.")})
+    head.load_state_dict({k[4:]: v for k, v in state.items() if k.startswith("out.")})
+    rnn.eval(); head.eval()
+
+    dense_logits, _ = torch_reference
+    rng2 = np.random.default_rng(5)
+    x = np.zeros((8, 30, 4), np.float32)
+    for i in range(8):
+        for j in range(30):
+            x[i, j, int(rng2.integers(0, 4))] = 1.0
+    with torch.no_grad():
+        r_out, _ = rnn(torch.from_numpy(x))
+        xt = torch.from_numpy(x)
+        g = xt.size(1) - 1 - xt.sum(2).flip(1).argmax(1)
+        got = head(r_out[torch.arange(8), g, :]).numpy()
+    want = dense_logits(x)
+    np.testing.assert_allclose(got, want, atol=1e-5)
