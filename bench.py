@@ -139,6 +139,24 @@ def measure_torch_cpu_baseline():
 
 
 def main():
+    # Watchdog: the tunneled TPU link can wedge in a way that blocks inside
+    # a C call (no exception, signals never delivered) -- emit the error
+    # JSON and hard-exit instead of hanging the driver forever. A healthy
+    # run (compile + parity gate + 16 timed batches) takes ~4-5 min.
+    import os
+    import threading
+
+    def _deadline():
+        print(json.dumps({"metric": "bench_error", "value": 0,
+                          "unit": "reads/sec/chip", "vs_baseline": 0,
+                          "error": "watchdog: TPU measure exceeded 540s "
+                                   "(tunnel wedged?)"}), flush=True)
+        os._exit(1)
+
+    watchdog = threading.Timer(540.0, _deadline)
+    watchdog.daemon = True
+    watchdog.start()
+
     last_err = None
     value = None
     for attempt in range(3):
@@ -148,6 +166,7 @@ def main():
         except Exception as e:  # tunnel flakiness: retry
             last_err = e
             time.sleep(5)
+    watchdog.cancel()
     if value is None:
         print(json.dumps({"metric": "bench_error", "value": 0,
                           "unit": "reads/sec/chip", "vs_baseline": 0,
