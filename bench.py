@@ -38,8 +38,23 @@ BASELINE_READS = 4096
 
 
 def measure_tpu():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache (same dir as the engine): repeat bench
+    # runs skip the remote compiles, the flakiest part of the tunneled link
+    try:
+        cache_dir = os.environ.get(
+            "RIBODETECTOR_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "ribodetector_tpu"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from ribodetector_tpu import native
     from ribodetector_tpu.models import load_params
