@@ -70,9 +70,14 @@ none: give label based on the mean probability of read pair.
     args.add_argument("--precision", default=None, type=str,
                       choices=["exact", "high", "fast"],
                       help="""MXU precision of the Pallas kernel:
-exact: full fp32 emulation, bit-identical to the XLA scan reference (6 MXU passes);
-high:  3-pass limb-split fp32, argmax-identical in all measurements, ~1.66x faster (default);
+exact: full fp32 emulation, bit-identical to the XLA scan reference;
+high:  2-limb-split fp32 fused into one MXU launch per step, argmax-identical
+       in all measurements, ~1.5x faster than exact (default);
 fast:  one bf16 pass, fastest, ~0.2%% of borderline reads may flip label""")
+    args.add_argument("--hosts", default=1, type=int,
+                      help="Shard the input stream over N cooperating hosts: each host classifies\nits round-robin share of the chunks and writes per-host output shards\n(<name>.hostNNN; gz shards concatenate into a valid gz file).\nRun once per host with a distinct --host-id. (default: 1)")
+    args.add_argument("--host-id", default=0, type=int,
+                      help="This process's shard index in [0, --hosts). (default: 0)")
     args.add_argument("-v", "--version", action="version",
                       version="%(prog)s {version}".format(version=__version__))
     return args

@@ -45,6 +45,7 @@ from ribodetector_tpu import native
 from ribodetector_tpu.io.fastx import seq_parser
 from ribodetector_tpu.io.format import get_seq_format
 from ribodetector_tpu.io.gzfast import RawInflater
+from ribodetector_tpu.parallel.sharded import host_chunk_assignment
 
 _BLOCK = 4 << 20
 _PAD_BYTE = 124  # base-5 packed all-pad trio: 4 + 5*4 + 25*4
@@ -464,6 +465,8 @@ class NativeRunner:
 
     def __init__(self, predictor):
         self.p = predictor
+        self._hosts = getattr(predictor, "hosts", 1)
+        self._host_id = getattr(predictor, "host_id", 0)
         # Device batch: the reference's -m formula (quirk #9) guards GPU RAM
         # on its hardware; on TPU a [131072, len] token batch is ~13 MB of
         # HBM, so the native path lifts the device batch to cut per-call
@@ -594,6 +597,11 @@ class NativeRunner:
             if chunk is None:
                 break
             data, offsets, ptokens, lengths, clean, n = chunk
+            if self._hosts > 1 and not host_chunk_assignment(
+                ci, self._hosts, self._host_id
+            ):
+                ci += 1
+                continue  # another host's chunk (parse cost only)
             if resume:
                 fhs = resume.open_chunk(p, ci)
             chunk_records = (
@@ -698,6 +706,11 @@ class NativeRunner:
             d1, o1, t1, l1, cl1, n1 = c1
             d2, o2, t2, l2, cl2, n2 = c2
             n = min(n1, n2)  # quirk #8: truncate to the shorter file
+            if self._hosts > 1 and not host_chunk_assignment(
+                ci, self._hosts, self._host_id
+            ):
+                ci += 1
+                continue  # another host's chunk (parse cost only)
             if resume:
                 fhs = resume.open_chunk(p, ci)
             recs1 = records_from_chunk_bytes(d1, o1, n1) if not cl1[:n].all() else None

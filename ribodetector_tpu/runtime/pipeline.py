@@ -304,6 +304,33 @@ class Predictor:
                 "Ouput rRNA should have no more than two files and they should the same number with input files."
             )
 
+        # multi-host chunk sharding (SURVEY.md "Distributed backend" row):
+        # each cooperating host takes its round-robin share of the chunk
+        # stream and writes per-host output shards the user concatenates
+        self.hosts = max(1, int(getattr(self.args, "hosts", 1) or 1))
+        self.host_id = int(getattr(self.args, "host_id", 0) or 0)
+        if self.hosts > 1:
+            if not 0 <= self.host_id < self.hosts:
+                raise RuntimeError(
+                    f"--host-id {self.host_id} out of range [0, {self.hosts})"
+                )
+            if getattr(self.args, "resume", False):
+                raise RuntimeError("--resume cannot be combined with --hosts")
+            if not self._use_native():
+                raise RuntimeError(
+                    "--hosts requires the native streaming path "
+                    "(g++-built parser; runtime.native=true)"
+                )
+            self.output = [self._host_shard_path(f) for f in self.output]
+            if self.rrna is not None:
+                self.rrna = [self._host_shard_path(f) for f in self.rrna]
+            self.logger.info(
+                "Host shard {}/{}: writing per-host outputs (concatenate "
+                "<name>.host* shards when all hosts finish)".format(
+                    self.host_id, self.hosts
+                )
+            )
+
         self.is_paired = num_inputs == 2
         self.batch_size = auto_batch_size(self.args.memory, self.len, self.is_paired)
         self.logger.info(
@@ -335,6 +362,15 @@ class Predictor:
                     self.run_with_chunks()
         if self.timer.enabled:
             self.logger.info(self.timer.summary())
+
+    def _host_shard_path(self, f):
+        """Per-host output shard name. gz outputs keep their gz suffix so
+        compression stays on and `cat name.host*.gz > name.gz` is a valid
+        multi-member gzip file; plain shards concatenate the same way."""
+        k = f"host{self.host_id:03d}"
+        if f.endswith("gz"):
+            return f[: -len("gz")] + k + ".gz"
+        return f + "." + k
 
     def _use_native(self):
         """Native fast path: the C++ parser built (FASTQ and FASTA chunk

@@ -90,3 +90,56 @@ def test_host_chunk_assignment_partitions():
 
 def test_merge_counts_single_host():
     assert merge_counts({"rrna": 3, "norrna": 5}) == {"rrna": 3, "norrna": 5}
+
+
+def test_multihost_cli_shards_partition_the_input(tmp_path, rng, ref_params_path):
+    """--hosts N / --host-id k: per-host shards are disjoint and their union
+    equals the single-host partition (native path, CPU backend)."""
+    import gzip
+
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+
+    n_reads = 5000
+    seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(n_reads)]
+    inp = tmp_path / "in.fq"
+    with open(inp, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f"@h{i}\n{s}\n+\n{'I' * len(s)}\n")
+
+    def ids(path, opener=open):
+        with opener(path, "rt") as fh:
+            return {l.split()[0][1:] for i, l in enumerate(fh) if i % 4 == 0}
+
+    # single-host truth
+    out0 = tmp_path / "single.fq"
+    rr0 = tmp_path / "single.rr.fq.gz"
+    cli_main(["-l", "60", "-i", str(inp), "-o", str(out0), "-r", str(rr0),
+              "-m", "3", "--chunk_size", "1"])
+    want_non, want_rr = ids(out0), ids(rr0, gzip.open)
+
+    # two cooperating hosts over the same input
+    outs, rrs = [], []
+    for k in range(2):
+        out = tmp_path / "multi.fq"
+        rr = tmp_path / "multi.rr.fq.gz"
+        cli_main(["-l", "60", "-i", str(inp), "-o", str(out), "-r", str(rr),
+                  "-m", "3", "--chunk_size", "1",
+                  "--hosts", "2", "--host-id", str(k)])
+        outs.append(ids(tmp_path / f"multi.fq.host{k:03d}"))
+        rrs.append(ids(tmp_path / f"multi.rr.fq.host{k:03d}.gz", gzip.open))
+
+    assert outs[0] | outs[1] == want_non
+    assert not outs[0] & outs[1]
+    assert rrs[0] | rrs[1] == want_rr
+    # both hosts actually did work (5000 reads / 2048-read chunks = 3 chunks)
+    assert outs[0] and outs[1]
+    # gz shards concatenate into one valid gzip file
+    merged = tmp_path / "merged.rr.fq.gz"
+    with open(merged, "wb") as dst:
+        for k in range(2):
+            dst.write((tmp_path / f"multi.rr.fq.host{k:03d}.gz").read_bytes())
+    assert ids(merged, gzip.open) == want_rr
