@@ -71,8 +71,11 @@ none: give label based on the mean probability of read pair.
                       choices=["exact", "high", "fast"],
                       help="""MXU precision of the Pallas kernel:
 exact: full fp32 emulation, bit-identical to the XLA scan reference;
-high:  2-limb-split fp32 fused into one MXU launch per step, argmax-identical
-       in all measurements, ~1.5x faster than exact (default);
+high:  2-limb-split fp32 fused into one MXU launch per step + tanh-form
+       sigmoid, ~2.2x faster than exact; argmax flips confined to reads in
+       the fp32 noise class (logit margin < 1e-3, ~3e-5 of worst-case
+       random reads; the reference's own cuDNN and onnxruntime engines
+       disagree with each other on such reads too) (default);
 fast:  one bf16 pass, fastest, ~0.2%% of borderline reads may flip label""")
     args.add_argument("--hosts", default=1, type=int,
                       help="Shard the input stream over N cooperating hosts: each host classifies\nits round-robin share of the chunks and writes per-host output shards\n(<name>.hostNNN; gz shards concatenate into a valid gz file).\nRun once per host with a distinct --host-id. (default: 1)")

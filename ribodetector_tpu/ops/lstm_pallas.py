@@ -35,22 +35,35 @@ onnxruntime LSTM, detect_cpu.py:88-96). Design notes:
            activations to the lax.scan reference, 6 MXU passes.
     "x3"   manual split: W = Whi + Wlo, h = hhi + hlo (bf16 limbs built
            once per step), gates = Whi@hhi + Whi@hlo + Wlo@hhi. The dropped
-           Wlo@hlo term is ~2^-18 relative -- measured on a v5e over 131072
-           random-token reads (worst case: random tokens put far more mass
-           near the decision boundary than real reads): dense semantics
-           ZERO argmax flips; packed semantics 1 flip on a read whose fp32
-           logit margin was 3.5e-5 (below cross-implementation fp32 noise:
-           cuDNN / onnxruntime / XLA disagree on such reads too).
-           Implementation (round 2, measured 1.51x over three separate
-           [512,136] passes -- experiments/kbench3.py): the three limb
-           products run as ONE MXU launch per direction per step,
+           Wlo@hlo term is ~2^-18 relative.
+           Implementation (measured on the real chip, experiments/kbench3,
+           5, 6): the three limb products run as ONE MXU launch per
+           direction per step,
                gates = [Whi | Whi | Wlo] ([512,384]) @ [hhi; hlo; hhi]
            so K = 384 is exactly 3 MXU k-tiles with zero padding waste
            (a 136-wide K pads to 2 tiles, so 3 separate passes burn 6),
            and the token/bias contribution is added in EXACT fp32 from a
            [512, 8] per-token column table via 5-way VPU masked selects --
-           cheaper than any K>=8 matmul for it, and more accurate than the
-           bf16-limb token columns of the fused-136 layout.
+           cheaper than any K>=8 matmul for it (folding the token columns
+           into the big matmul as extra K limbs, or as a separate K=24
+           matmul, both measured SLOWER: the kernel is VPU/launch-latency
+           bound and extra MXU launches or k-tiles lengthen the serial
+           chain -- kbench5/6).
+           Two further measured wins (round 2, combined 1.47x over the
+           round-1 x3: 1.40 -> 2.06 M reads/s at B=131072, T=100):
+             * sigmoid evaluated as 0.5*tanh(0.5x)+0.5 -- Mosaic lowers
+               sigmoid via exp, which costs ~2x a tanh on the VPU's
+               transcendental pipe; the tanh form is a different (equally
+               correct) fp32 rounding of the same function (-27% time).
+             * two time steps per fori_loop iteration (-5% time).
+           Accuracy (131072 random-token reads, a worst case that puts far
+           more mass near the decision boundary than real reads): 4 argmax
+           flips vs the fp32 scan reference (3e-5 fraction), every one on a
+           read whose fp32 logit margin was < 1e-3 -- the noise class where
+           the reference's own engines (cuDNN vs onnxruntime) disagree
+           with each other too. The bench parity gate enforces exactly
+           this: any flip on a read with scan-reference margin >= 5e-3, or
+           a flip fraction > 1e-4, falls back to the bit-exact x6 mode.
     "x1"   one bf16 pass (precision=DEFAULT) over the fused [512,136]
            weight (in-matmul one-hot: for a single pass the extra k-tile
            beats VPU token selects -- measured): fastest, ~0.2% argmax
@@ -112,7 +125,8 @@ def _kernel_x3cat(
     packed,
 ):
     """The production x3 path: 2-limb split fp32 emulation, one MXU launch
-    per direction per step (module docstring "x3")."""
+    per direction per step, tanh-form sigmoid, 2-step-unrolled time loop
+    (module docstring "x3")."""
     tile_b = out_ref.shape[1]
 
     h_f[...] = jnp.zeros((HIDDEN, tile_b), jnp.float32)
@@ -125,6 +139,12 @@ def _kernel_x3cat(
     if packed:
         length = length_ref[...]  # [1, TILE_B]
 
+    def sig(x):
+        # same function, different fp32 rounding: Mosaic lowers sigmoid via
+        # exp (~2x a tanh on the transcendental pipe); measured -27% kernel
+        # time (kbench5/6), flips only reads with logit margin < 1e-3
+        return 0.5 * jnp.tanh(0.5 * x) + 0.5
+
     def tokc(tokw_ref, tok_row):
         # exact-fp32 token/bias contribution: 5-way masked select of the
         # per-token gate columns (pad token 4 = bare bias = the default arm)
@@ -134,8 +154,7 @@ def _kernel_x3cat(
             acc = jnp.where(tok_row == k, col, acc)
         return acc
 
-    def cell(wcat3_ref, tokw_ref, h_ref, c_ref, rhs, tok_row):
-        h = h_ref[...]
+    def cell(wcat3_ref, tokw_ref, h, c, rhs, tok_row):
         h_hi = h.astype(jnp.bfloat16)
         h_lo = (h - h_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         rhs[0:HIDDEN, :] = h_hi
@@ -144,43 +163,52 @@ def _kernel_x3cat(
         gates = jnp.dot(
             wcat3_ref[...], rhs[...], preferred_element_type=jnp.float32
         ) + tokc(tokw_ref, tok_row)
-        i = jax.nn.sigmoid(gates[0:HIDDEN, :])
-        f = jax.nn.sigmoid(gates[HIDDEN : 2 * HIDDEN, :])
+        i = sig(gates[0:HIDDEN, :])
+        f = sig(gates[HIDDEN : 2 * HIDDEN, :])
         g = jnp.tanh(gates[2 * HIDDEN : 3 * HIDDEN, :])
-        o = jax.nn.sigmoid(gates[3 * HIDDEN : 4 * HIDDEN, :])
-        c_new = f * c_ref[...] + i * g
+        o = sig(gates[3 * HIDDEN : 4 * HIDDEN, :])
+        c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
         return h_new, c_new
 
-    def step(t, _):
+    def one(t, hf, hb, cf, cb):
+        """Advance both directions one step on carried values (unrollable
+        without round-tripping state through VMEM refs)."""
         pos_b = T - 1 - t
         tok_f = tokens_ref[pl.ds(t, 1), :]  # [1, TILE_B]
         tok_b = tokens_ref[pl.ds(pos_b, 1), :]
 
-        h_f_new, c_f_new = cell(wcat3_f_ref, tokw_f_ref, h_f, c_f, rhs_f, tok_f)
-        h_b_new, c_b_new = cell(wcat3_b_ref, tokw_b_ref, h_b, c_b, rhs_b, tok_b)
+        hf2, cf2 = cell(wcat3_f_ref, tokw_f_ref, hf, cf, rhs_f, tok_f)
+        hb2, cb2 = cell(wcat3_b_ref, tokw_b_ref, hb, cb, rhs_b, tok_b)
 
         if packed:
             # padding steps (pos >= L) leave the backward carry untouched so
             # the backward direction starts exactly at the true last base
             valid_b = pos_b < length  # [1, TILE_B]
-            h_b_new = jnp.where(valid_b, h_b_new, h_b[...])
-            c_b_new = jnp.where(valid_b, c_b_new, c_b[...])
+            hb2 = jnp.where(valid_b, hb2, hb)
+            cb2 = jnp.where(valid_b, cb2, cb)
 
-        c_f[...] = c_f_new
-        c_b[...] = c_b_new
-        h_f[...] = h_f_new
-        h_b[...] = h_b_new
+        out_ref[0:HIDDEN, :] = jnp.where(gather == t, hf2, out_ref[0:HIDDEN, :])
+        out_ref[HIDDEN:, :] = jnp.where(gather == pos_b, hb2, out_ref[HIDDEN:, :])
+        return hf2, hb2, cf2, cb2
 
-        out_ref[0:HIDDEN, :] = jnp.where(
-            gather == t, h_f_new, out_ref[0:HIDDEN, :]
-        )
-        out_ref[HIDDEN:, :] = jnp.where(
-            gather == pos_b, h_b_new, out_ref[HIDDEN:, :]
-        )
+    def step(i, _):
+        t = i * 2
+        hf, hb, cf, cb = one(t, h_f[...], h_b[...], c_f[...], c_b[...])
+        hf, hb, cf, cb = one(t + 1, hf, hb, cf, cb)
+        h_f[...] = hf
+        h_b[...] = hb
+        c_f[...] = cf
+        c_b[...] = cb
         return 0
 
-    jax.lax.fori_loop(0, T, step, 0)
+    jax.lax.fori_loop(0, T // 2, step, 0)
+    for t in range((T // 2) * 2, T):
+        hf, hb, cf, cb = one(t, h_f[...], h_b[...], c_f[...], c_b[...])
+        h_f[...] = hf
+        h_b[...] = hb
+        c_f[...] = cf
+        c_b[...] = cb
 
 
 def _kernel(
@@ -229,12 +257,13 @@ def _kernel(
             # bit-identical activations to the lax.scan reference path
             sig, tanh = jax.nn.sigmoid, jnp.tanh
         else:
-            # explicit-dtype activations: jax.nn.sigmoid on bf16 trips a
-            # Mosaic mixed-dtype broadcast verifier error as of jax 0.9
-            one = jnp.array(1, cdt)
+            # bf16 (x1) mode: tanh-form sigmoid -- ~2x cheaper than exp on
+            # the VPU transcendental pipe, and jax.nn.sigmoid on bf16 trips
+            # a Mosaic mixed-dtype broadcast verifier error as of jax 0.9
+            half = jnp.array(0.5, cdt)
 
             def sig(x):
-                return one / (one + jnp.exp(-x))
+                return half * jnp.tanh(half * x) + half
 
             def tanh(x):
                 return jnp.tanh(x)
@@ -247,23 +276,21 @@ def _kernel(
         h_new = o * tanh(c_new)
         return h_new, c_new
 
-    def step(t, _):
+    def one(t, cf, cb):
         pos_b = T - 1 - t
         tok_f = tokens_ref[pl.ds(t, 1), :]  # [1, TILE_B]
         tok_b = tokens_ref[pl.ds(pos_b, 1), :]
 
-        h_f_new, c_f_new = cell(wcat_f_ref, hcat_f, c_f, tok_f)
-        h_b_new, c_b_new = cell(wcat_b_ref, hcat_b, c_b, tok_b)
+        h_f_new, c_f_new = cell(wcat_f_ref, hcat_f, cf, tok_f)
+        h_b_new, c_b_new = cell(wcat_b_ref, hcat_b, cb, tok_b)
 
         if packed:
             # padding steps (pos >= L) leave the backward carry untouched so
             # the backward direction starts exactly at the true last base
             valid_b = pos_b < length  # [1, TILE_B]
             h_b_new = jnp.where(valid_b, h_b_new, hcat_b[0:HIDDEN, :])
-            c_b_new = jnp.where(valid_b, c_b_new, c_b[...])
+            c_b_new = jnp.where(valid_b, c_b_new, cb)
 
-        c_f[...] = c_f_new
-        c_b[...] = c_b_new
         hcat_f[0:HIDDEN, :] = h_f_new
         hcat_b[0:HIDDEN, :] = h_b_new
 
@@ -273,9 +300,21 @@ def _kernel(
         out_ref[HIDDEN:, :] = jnp.where(
             gather == pos_b, h_b_new.astype(jnp.float32), out_ref[HIDDEN:, :]
         )
+        return c_f_new, c_b_new
+
+    def step(i, _):
+        t = i * 2
+        cf, cb = one(t, c_f[...], c_b[...])
+        cf, cb = one(t + 1, cf, cb)
+        c_f[...] = cf
+        c_b[...] = cb
         return 0
 
-    jax.lax.fori_loop(0, T, step, 0)
+    jax.lax.fori_loop(0, T // 2, step, 0)
+    for t in range((T // 2) * 2, T):
+        cf, cb = one(t, c_f[...], c_b[...])
+        c_f[...] = cf
+        c_b[...] = cb
 
 
 def _pick_tile(B):
