@@ -7,7 +7,7 @@ Prints ONE JSON line:
 value       = sustained Pallas classify throughput on the local TPU chip in
               the production pipeline configuration: base-5 packed uint8
               token batches (3 tokens/byte, the native runtime's transfer
-              format), host->device transfers pipelined 3 batches deep
+              format), host->device transfers pipelined 8 batches deep
               (matching runtime/native_pipeline.py) so transfer, dispatch and
               D2H latency hide behind compute, on-device unpack + BiLSTM +
               argmax label emit, in the
@@ -112,7 +112,7 @@ def measure_tpu():
 
     np.asarray(infer(jax.device_put(ptoks[0])))  # warm
     N = 16
-    DEPTH = 3  # in-flight batches, matching runtime/native_pipeline.py
+    DEPTH = 8  # in-flight batches, matching runtime/native_pipeline.py
     t0 = time.time()
     pending = []
     for i in range(N):

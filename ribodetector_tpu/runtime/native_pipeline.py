@@ -16,13 +16,15 @@ Pipeline shape (measured on the v5e host, 2M x 100bp reads):
   bytes, so the 13 MB/batch unpacked matrix was costing more than the
   BiLSTM kernel itself; packed it is 4.4 MB and fully hides behind the
   previous batch's compute.
-- transfers are pipelined DEPTH=3 batches deep: the device keeps up to
-  three batches in flight (staged from a 4-buffer pool so an in-flight
-  transfer's source is never overwritten -- a slot is reused only after
-  its batch's labels have been fetched, which orders strictly after its
-  H2D). Measured on the v5e: depth 1 = 838 K reads/s, depth 3 = 1.02 M
-  reads/s -- the deeper queue hides dispatch + D2H latency, not just the
-  transfer itself.
+- transfers are pipelined DEPTH=8 batches deep: the device keeps up to
+  eight batches in flight (staged from a DEPTH+1-buffer pool so an
+  in-flight transfer's source is never overwritten -- a slot is reused
+  only after its batch's labels have been fetched, which orders strictly
+  after its H2D). Measured on chip: depth 1 = 838 K, depth 3 = 1.02 M;
+  round 2 (faster kernel, so transfer overhead is a larger fraction):
+  depth 3 = 81 ms/batch, depth 6 = 78.8, depth 8..16 plateau at ~74 --
+  the deeper queue hides dispatch + D2H latency, not just the transfer
+  itself (a dedicated H2D feeder thread was measured no better).
 - parse runs in a prefetch thread and file writes in a writer thread
   (gzip/zlib and file IO release the GIL), so decompress/parse of chunk
   i+1 and compressed writes of batch i-1 overlap the device.
@@ -460,7 +462,7 @@ class NativeRunner:
     classify step and byte-gather writers. Owns the reusable staging
     buffers; one instance per detect() run."""
 
-    DEPTH = 3  # in-flight device batches (measured sweet spot, module doc)
+    DEPTH = 8  # in-flight device batches (measured sweet spot, module doc)
     PREFETCH = 1  # chunks buffered per _Prefetcher queue
 
     def __init__(self, predictor):
