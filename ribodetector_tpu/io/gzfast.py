@@ -29,6 +29,7 @@ stream at level 5 when libdeflate is unavailable.
 
 import ctypes
 import struct
+import threading
 import zlib
 
 _HDR = b"\x1f\x8b"
@@ -112,6 +113,39 @@ def crc32(data, crc=0):
         return zlib.crc32(data, crc)
     with _Pin(data) as ptr:
         return lib.libdeflate_crc32(crc & 0xFFFFFFFF, ptr, len(data))
+
+
+_comp_tls = threading.local()
+
+
+def compress_member(payload, level=3):
+    """Compress `payload` into ONE standalone gzip member (header + deflate
+    + crc32/ISIZE trailer) and return it as bytes.
+
+    Thread-safe: one libdeflate compressor per calling thread (libdeflate
+    compressors are stateful and must not be shared). The ctypes call
+    releases the GIL, so a small thread pool compresses independent members
+    in parallel -- concatenated members are a valid gzip file, which is how
+    the writer parallelizes output compression across host cores. zlib
+    fallback (level 5, matching the reference's compresslevel, quirk #7)
+    when libdeflate is unavailable.
+    """
+    lib = _libdeflate()
+    n = len(payload)
+    if lib is None:  # pragma: no cover - libdeflate baked into the image
+        return zlib.compress(bytes(payload), 5, wbits=31)
+    comp = getattr(_comp_tls, "comp", None)
+    if comp is None or getattr(_comp_tls, "level", None) != level:
+        comp = lib.libdeflate_alloc_compressor(level)
+        _comp_tls.comp, _comp_tls.level = comp, level
+    bound = lib.libdeflate_gzip_compress_bound(comp, n)
+    obuf = bytearray(bound)
+    with _Pin(payload) as in_ptr, _Pin(obuf) as out_ptr:
+        wrote = lib.libdeflate_gzip_compress(comp, in_ptr, n, out_ptr, bound)
+    if wrote == 0:  # pragma: no cover - bound guarantees success
+        raise OSError("libdeflate_gzip_compress failed")
+    del obuf[wrote:]
+    return bytes(obuf)
 
 
 class BadGzipFile(OSError):
@@ -277,6 +311,10 @@ class MemberGzipWriter:
         with memoryview(self._obuf) as mv:
             self._fh.write(mv[:wrote])
         return n
+
+    def write_raw(self, data):
+        """Append an already-compressed gzip member (from compress_member)."""
+        self._fh.write(data)
 
     def flush(self):
         self._fh.flush()

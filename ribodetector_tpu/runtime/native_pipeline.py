@@ -46,7 +46,7 @@ import numpy as np
 from ribodetector_tpu import native
 from ribodetector_tpu.io.fastx import seq_parser
 from ribodetector_tpu.io.format import get_seq_format
-from ribodetector_tpu.io.gzfast import RawInflater
+from ribodetector_tpu.io.gzfast import MemberGzipWriter, RawInflater, compress_member
 from ribodetector_tpu.parallel.sharded import host_chunk_assignment
 
 _BLOCK = 4 << 20
@@ -374,6 +374,16 @@ class _Prefetcher:
         return item
 
 
+class _Compressed:
+    """Ordered-write token for payload blocks compressing in the pool."""
+
+    __slots__ = ("futs", "view")
+
+    def __init__(self, futs, view):
+        self.futs = futs
+        self.view = view
+
+
 class _Writer:
     """Single writer thread: preserves per-file write order, hides gzip
     deflate + file IO behind device compute.
@@ -381,15 +391,34 @@ class _Writer:
     Gather payloads are passed ZERO-COPY as memoryviews into pooled scratch
     bytearrays: acquire_scratch() blocks until a pool buffer is free (natural
     backpressure), and the writer returns the buffer to the pool after the
-    write -- no per-payload bytes() copy holding the GIL."""
+    write -- no per-payload bytes() copy holding the GIL.
+
+    With compress_threads > 1, large payloads bound for a gz output are
+    split into ~BLOCK-byte slices and compressed CONCURRENTLY as independent
+    gzip members (io/gzfast.compress_member releases the GIL; concatenated
+    members are a valid gzip file). The writer thread then appends the
+    compressed members in submission order, so per-file byte order stays
+    deterministic. This lifts the single-thread libdeflate ceiling
+    (~170 MB/s) that otherwise caps end-to-end throughput when outputs are
+    gzipped -- the reference has the same serial-deflate bottleneck
+    (detect.py:739, compresslevel=5 on one thread)."""
 
     _DONE = object()
     POOL = 4
+    BLOCK = 2 << 20
 
-    def __init__(self):
+    def __init__(self, compress_threads=0):
+        self._pool = None
+        if compress_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                compress_threads, thread_name_prefix="rd-deflate"
+            )
         self._q = queue.Queue()
         self._free = queue.Queue()
-        for _ in range(self.POOL):
+        # deeper scratch pool when compression is pipelined in parallel
+        for _ in range(self.POOL + (compress_threads if self._pool else 0)):
             self._free.put(bytearray())
         self._exc = None
         self._t = threading.Thread(target=self._run, daemon=True)
@@ -404,16 +433,31 @@ class _Writer:
             try:
                 # after a write error, keep draining (and signalling
                 # barriers) so producers unblock and see the stored error
-                if self._exc is None or not payload:
+                if isinstance(payload, _Compressed):
+                    for fut in payload.futs:
+                        member = fut.result()
+                        if self._exc is None:
+                            fh.write_raw(member)
+                elif self._exc is None or not payload:
                     fh.write(payload)
             except BaseException as e:  # pragma: no cover - disk errors
                 self._exc = e
             finally:
+                if isinstance(payload, _Compressed):
+                    # every compress task must finish before its source view
+                    # is released and the scratch recycled (a pool thread
+                    # could otherwise read a buffer being overwritten)
+                    for fut in payload.futs:
+                        try:
+                            fut.result()
+                        except BaseException:  # pragma: no cover
+                            pass
+                    payload.view.release()
+                elif isinstance(payload, memoryview):
+                    payload.release()
                 if scratch is not None:
-                    # drop the view before pooling: a live memoryview would
-                    # block the bytearray's next resize (BufferError)
-                    if isinstance(payload, memoryview):
-                        payload.release()
+                    # views dropped above: a live memoryview would block the
+                    # pooled bytearray's next resize (BufferError)
                     self._free.put(scratch)
 
     def acquire_scratch(self):
@@ -427,6 +471,17 @@ class _Writer:
             if scratch is not None:
                 self._free.put(scratch)
             raise self._exc
+        if (
+            self._pool is not None
+            and len(payload) > self.BLOCK
+            and isinstance(fh, MemberGzipWriter)
+        ):
+            view = payload if isinstance(payload, memoryview) else memoryview(payload)
+            futs = [
+                self._pool.submit(compress_member, view[o : o + self.BLOCK])
+                for o in range(0, len(view), self.BLOCK)
+            ]
+            payload = _Compressed(futs, view)
         self._q.put((fh, payload, scratch))
 
     def barrier(self):
@@ -445,6 +500,8 @@ class _Writer:
     def close(self):
         self._q.put(self._DONE)
         self._t.join()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
         if self._exc is not None:
             raise self._exc
 
@@ -586,7 +643,7 @@ class NativeRunner:
         else:
             fhs = p._open_outputs(binary=True)
 
-        self._writer = _Writer()
+        self._writer = _Writer(compress_threads=self._compress_threads())
         timer = p.timer
         prefetch = _Prefetcher(chunks, depth=self.PREFETCH)
         from collections import deque
@@ -689,7 +746,7 @@ class NativeRunner:
         else:
             fhs = p._open_outputs(binary=True)
 
-        self._writer = _Writer()
+        self._writer = _Writer(compress_threads=self._compress_threads())
         timer = p.timer
         # one prefetch thread per input file: R1 and R2 parse concurrently
         # (the reference uses Pool(2) the same way, detect.py:131-132)
@@ -784,6 +841,13 @@ class NativeRunner:
             counts["unclf"] += len(sel[-1])
 
     # ------------------------------------------------------------------
+
+    def _compress_threads(self):
+        """Deflate pool size: the CLI's -t host-thread budget (reference
+        detect.py:783 semantics -- host-side worker parallelism), capped at
+        the machine and at 8 (past that the members are write-bound)."""
+        t = getattr(self.p.args, "threads", 0) or 0
+        return max(0, min(int(t), os.cpu_count() or 1, 8))
 
     def _records_per_chunk(self):
         p = self.p

@@ -138,3 +138,55 @@ def test_open_for_write_bytes_gz_content(tmp_path):
     fh.close()
     with gzip.open(path, "rb") as gz:
         assert gz.read() == b"@r\nACGT\n+\nIIII\n"
+
+
+def test_compress_member_standalone_and_threaded(rng):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ribodetector_tpu.io.gzfast import compress_member
+
+    blocks = [
+        rng.integers(65, 91, n).astype(np.uint8).tobytes()
+        for n in (5, 70000, 1 << 20)
+    ]
+    # each result is a standalone gzip member; concatenation is a valid file
+    with ThreadPoolExecutor(3) as pool:
+        members = list(pool.map(compress_member, blocks))
+    for blk, member in zip(blocks, members):
+        assert gzip.decompress(member) == blk
+    assert gzip.decompress(b"".join(members)) == b"".join(blocks)
+    # writable-view input (the writer passes memoryviews into scratch
+    # bytearrays) compresses identically
+    assert gzip.decompress(
+        compress_member(memoryview(bytearray(blocks[1])))
+    ) == blocks[1]
+
+
+def test_writer_parallel_gz_preserves_order(tmp_path, rng):
+    """Large payloads split into pool-compressed members must land in
+    submission order and decompress byte-identically."""
+    from ribodetector_tpu.io.writer import open_for_write_bytes
+    from ribodetector_tpu.runtime.native_pipeline import _Writer
+
+    path = str(tmp_path / "out.fq.gz")
+    fh = open_for_write_bytes(path)
+    w = _Writer(compress_threads=3)
+    payloads = []
+    for i in range(6):
+        # > _Writer.BLOCK so each splits into multiple parallel members
+        payloads.append(
+            rng.integers(65, 91, (3 << 20) + i).astype(np.uint8).tobytes()
+        )
+        payloads.append(b"small-%d\n" % i)  # serial path interleaved
+    for p in payloads:
+        if len(p) > 1000:
+            scratch = w.acquire_scratch()
+            scratch[:] = p
+            w.write(fh, memoryview(scratch), scratch=scratch)
+        else:
+            w.write(fh, p)
+    w.barrier()
+    w.close()
+    fh.close()
+    with gzip.open(path, "rb") as gz:
+        assert gz.read() == b"".join(payloads)
