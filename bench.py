@@ -20,14 +20,30 @@ value       = sustained Pallas classify throughput on the local TPU chip in
               falls back to the bit-exact x6 mode). B=131072 per
               batch, steady-state over 16 batches; paired-end reads counted
               individually, matching the reference's reads/s accounting.
-vs_baseline = value / (reference-equivalent torch-CPU throughput measured on
-              this same host: dense/ONNX forward semantics, batch 1024 --
-              the detect_cpu policy, reference detect_cpu.py:596,686-708 --
-              including its per-read Python one-hot encoding hot loop).
-              The reference GPU path needs CUDA, which this host lacks.
+vs_baseline = value / estimated RiboDetector-GPU throughput. The reference
+              GPU path needs CUDA, which this host lacks, so the GPU anchor
+              is derived from the reference's own published ratios: GPU mode
+              ~50x vs state-of-the-art tools, CPU mode ~10x vs the same
+              tools (reference README.md:6) => GPU ~5x the reference CPU
+              path. The reference-equivalent CPU throughput (dense/ONNX
+              forward, batch 1024 -- the detect_cpu policy,
+              detect_cpu.py:596,686-708, including its per-read Python
+              one-hot encode hot loop) is measured on THIS host with torch,
+              then multiplied by 5. Both numbers are reported
+              (baseline_gpu_estimate, baseline_torch_cpu_measured); see
+              BASELINE.md "published" section.
+
+Harness (round-3 hardening): the tunneled TPU link wedges under concurrent
+clients and sometimes after killed runs, and a wedge blocks inside a C call
+where no signal is delivered. So the parent process NEVER imports jax;
+every device interaction runs in a fresh subprocess with its own timeout:
+a cheap pre-flight probe (tiny jit matmul) gates each expensive measure
+attempt, and a failed/killed attempt waits out the wedge before re-probing.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -37,11 +53,14 @@ B = 131072
 T = 100
 BASELINE_BATCH = 1024  # detect_cpu.py:596
 BASELINE_READS = 4096
+GPU_OVER_CPU = 5.0  # reference README.md:6 -- ~50x (GPU) vs ~10x (CPU) over SOTA
+
+PROBE_TIMEOUT = 90
+MEASURE_TIMEOUT = 480
+TOTAL_BUDGET = 1500  # give up and emit bench_error past this many seconds
 
 
 def measure_tpu():
-    import os
-
     import jax
     import jax.numpy as jnp
 
@@ -95,7 +114,7 @@ def measure_tpu():
 
     # production pipeline shape: packed uint8 batches, device-side unpack +
     # classify + label emit (runtime/pipeline.py _build_infer emit="labels"),
-    # double-buffered transfers (runtime/native_pipeline.py)
+    # pipelined transfers (runtime/native_pipeline.py)
     @jax.jit
     def infer(ptok):
         logits = bilstm_logits_pallas(
@@ -130,7 +149,7 @@ def measure_torch_cpu_baseline():
     import torch
     import torch.nn as nn
 
-    torch.set_num_threads(max(1, __import__("os").cpu_count()))
+    torch.set_num_threads(max(1, os.cpu_count()))
     state = torch.load(
         "/root/reference/ribodetector/data/ribodetector_600k_variable_len70_101_epoch47.pth",
         map_location="cpu",
@@ -166,53 +185,95 @@ def measure_torch_cpu_baseline():
     return len(reads) / dt
 
 
+# ---------------------------------------------------------------- harness
+
+
+def _child(arg, timeout):
+    """Run `bench.py <arg>` in a fresh process with a hard timeout; returns
+    (ok, last_stdout_line_or_error). The child is its own process group so a
+    timeout kill cannot orphan device threads into this process."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), arg],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            start_new_session=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"timeout after {timeout}s (tunnel wedged?)"
+    lines = [l for l in r.stdout.strip().splitlines() if l.strip()]
+    if r.returncode != 0 or not lines:
+        err = (r.stderr.strip().splitlines() or ["no output"])[-1]
+        return False, err[:300]
+    return True, lines[-1]
+
+
+def _probe_main():
+    """Child body: tiny jit matmul proves the device link is alive."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128), jnp.float32)
+    y = jax.jit(lambda a: (a @ a).sum())(x)
+    print(float(y))
+
+
+def _measure_main():
+    print(json.dumps({"value": measure_tpu()}))
+
+
 def main():
-    # Watchdog: the tunneled TPU link can wedge in a way that blocks inside
-    # a C call (no exception, signals never delivered) -- emit the error
-    # JSON and hard-exit instead of hanging the driver forever. A healthy
-    # run (compile + parity gate + 16 timed batches) takes ~4-5 min.
-    import os
-    import threading
-
-    def _deadline():
-        print(json.dumps({"metric": "bench_error", "value": 0,
-                          "unit": "reads/sec/chip", "vs_baseline": 0,
-                          "error": "watchdog: TPU measure exceeded 540s "
-                                   "(tunnel wedged?)"}), flush=True)
-        os._exit(1)
-
-    watchdog = threading.Timer(540.0, _deadline)
-    watchdog.daemon = True
-    watchdog.start()
-
-    last_err = None
+    deadline = time.time() + TOTAL_BUDGET
     value = None
-    for attempt in range(3):
-        try:
-            value = measure_tpu()
-            break
-        except Exception as e:  # tunnel flakiness: retry
-            last_err = e
-            time.sleep(5)
-    watchdog.cancel()
+    last_err = "no attempt made"
+    while time.time() < deadline:
+        ok, msg = _child("--probe", PROBE_TIMEOUT)
+        if not ok:
+            last_err = f"probe: {msg}"
+            print(f"# probe failed ({msg}); waiting for the link", file=sys.stderr)
+            time.sleep(30)
+            continue
+        ok, msg = _child("--measure", MEASURE_TIMEOUT)
+        if ok:
+            try:
+                value = float(json.loads(msg)["value"])
+                break
+            except (ValueError, KeyError) as e:
+                last_err = f"measure output unparseable: {e}"
+        else:
+            last_err = f"measure: {msg}"
+            print(f"# measure failed ({msg}); re-probing", file=sys.stderr)
+        time.sleep(30)
     if value is None:
         print(json.dumps({"metric": "bench_error", "value": 0,
                           "unit": "reads/sec/chip", "vs_baseline": 0,
-                          "error": str(last_err)[:200]}))
+                          "error": last_err[:300]}))
         sys.exit(1)
     try:
-        baseline = measure_torch_cpu_baseline()
+        cpu = measure_torch_cpu_baseline()
     except Exception:
-        baseline = None
+        cpu = None
+    gpu_est = cpu * GPU_OVER_CPU if cpu else None
     print(json.dumps({
         "metric": "sustained classify throughput incl. H2D, 100bp PE, "
                   "argmax-parity-verified Pallas BiLSTM "
-                  "(baseline: reference-equivalent torch-CPU same host)",
+                  "(baseline: RiboDetector-GPU estimate = 5x measured "
+                  "reference-equivalent torch-CPU, README.md:6 ratios)",
         "value": round(value, 1),
         "unit": "reads/sec/chip",
-        "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "vs_baseline": round(value / gpu_est, 2) if gpu_est else None,
+        "baseline_gpu_estimate": round(gpu_est, 1) if gpu_est else None,
+        "baseline_torch_cpu_measured": round(cpu, 1) if cpu else None,
+        "vs_torch_cpu": round(value / cpu, 2) if cpu else None,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--probe" in sys.argv:
+        _probe_main()
+    elif "--measure" in sys.argv:
+        _measure_main()
+    else:
+        main()

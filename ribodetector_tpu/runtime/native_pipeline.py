@@ -374,6 +374,79 @@ class _Prefetcher:
         return item
 
 
+class _RecordCursor:
+    """Record-exact cursor over a prefetched chunk stream.
+
+    The chunk streams yield window-adaptive record counts: a window can
+    legitimately hold fewer than `cap` records mid-file when record sizes
+    vary faster than the adaptive fill target tracks them. The paired
+    runner therefore can NOT zip stream chunks and truncate each pair of
+    chunks to the shorter one -- that silently drops the longer chunk's
+    tail rows and desynchronizes the two files from then on. A cursor
+    instead tracks an exact per-file record position; consumers cut
+    batches at window boundaries (`take` never spans two windows, so every
+    batch's byte-gather source is a single buffer) and the two sides of a
+    pair advance in lockstep to the record. File-end truncation to the
+    shorter input (reference quirk #8, seq_encoder.py:90-92) happens
+    naturally when one cursor's `ready()` goes False.
+    """
+
+    def __init__(self, prefetcher):
+        self._pf = prefetcher
+        self._c = None  # (data, offsets, ptokens, lengths, n, recs)
+        self._pos = 0
+        self.eof = False
+
+    def ready(self):
+        """Ensure a non-exhausted current chunk; False at end of stream."""
+        while not self.eof and (self._c is None or self._pos >= self._c[4]):
+            chunk = self._pf.get()
+            if chunk is None:
+                self._c, self.eof = None, True
+                return False
+            data, offsets, ptokens, lengths, clean, n = chunk
+            recs = (
+                None
+                if clean[:n].all()
+                else records_from_chunk_bytes(data, offsets, n)
+            )
+            self._c = (data, offsets, ptokens, lengths, n, recs)
+            self._pos = 0
+        return not self.eof
+
+    def chunk_avail(self):
+        """Rows left in the current window (call after ready() is True)."""
+        return self._c[4] - self._pos
+
+    def take(self, k):
+        """Advance k rows (k <= chunk_avail()). Returns
+        (data, offsets_rows_copy, ptokens_rows, lengths_rows, recs, start):
+        offsets rows are copied because the stream's slot arrays rotate
+        while the batch is in flight; token/length views are copied into
+        the staging buffers synchronously by the caller."""
+        data, offsets, ptokens, lengths, _, recs = self._c
+        s = self._pos
+        self._pos = s + k
+        return (
+            data,
+            offsets[s : s + k].copy(),
+            ptokens[s : s + k],
+            lengths[s : s + k],
+            recs,
+            s,
+        )
+
+    def skip(self, k):
+        """Skip up to k records (another host's chunk, or --resume restart);
+        returns the number actually skipped (< k only at end of stream)."""
+        done = 0
+        while done < k and self.ready():
+            step = min(k - done, self.chunk_avail())
+            self._pos += step
+            done += step
+        return done
+
+
 class _Compressed:
     """Ordered-write token for payload blocks compressing in the pool."""
 
@@ -441,7 +514,8 @@ class _Writer:
                 elif self._exc is None or not payload:
                     fh.write(payload)
             except BaseException as e:  # pragma: no cover - disk errors
-                self._exc = e
+                if self._exc is None:  # keep the root cause, not a follow-on
+                    self._exc = e
             finally:
                 if isinstance(payload, _Compressed):
                     # every compress task must finish before its source view
@@ -478,11 +552,25 @@ class _Writer:
         ):
             view = payload if isinstance(payload, memoryview) else memoryview(payload)
             futs = [
-                self._pool.submit(compress_member, view[o : o + self.BLOCK])
+                self._pool.submit(self._compress_slice, view, o, o + self.BLOCK)
                 for o in range(0, len(view), self.BLOCK)
             ]
             payload = _Compressed(futs, view)
         self._q.put((fh, payload, scratch))
+
+    @staticmethod
+    def _compress_slice(view, start, end):
+        """Pool-task body: the sub-view is created AND released inside the
+        task, so no export of the pooled scratch buffer can outlive the
+        future's completion. (Submitting pre-made slices would let the
+        executor's work item retain them slightly past fut.result() --
+        CPython deletes the item only after run() returns -- and the
+        recycled scratch's next resize would hit BufferError.)"""
+        sub = view[start:end]
+        try:
+            return compress_member(sub)
+        finally:
+            sub.release()
 
     def barrier(self):
         """Block until everything enqueued so far has been written."""
@@ -504,6 +592,20 @@ class _Writer:
             self._pool.shutdown(wait=True)
         if self._exc is not None:
             raise self._exc
+
+
+def records_per_chunk(p):
+    """Logical chunk size in records. --chunk_size parity with the
+    reference (chunk = batch_size * chunk_size reads, detect.py:371); in
+    whole-file mode, moderate streaming chunks so the host allocator reuses
+    warm arenas (fresh multi-hundred-MB buffers hit this host's slow
+    first-touch page faults) -- memory stays bounded either way, strictly
+    better than the reference's load-everything behavior (detect.py:131-132).
+    Shared by the runner and the --resume manifest so a resumed run always
+    skips the same record count per completed chunk."""
+    if p.chunk_size is not None:
+        return p.batch_size * p.chunk_size
+    return max(p.batch_size, 131072)
 
 
 def records_from_chunk_bytes(data, offsets, n):
@@ -561,6 +663,10 @@ class NativeRunner:
         from concurrent.futures import ThreadPoolExecutor
 
         self._dispatcher = ThreadPoolExecutor(max_workers=1)
+        import time
+
+        self._last_log = time.monotonic()
+        self._last_read = 0
 
     # -- batching ------------------------------------------------------
 
@@ -629,76 +735,66 @@ class NativeRunner:
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
         bs = self.dbs
+        rpc = self._records_per_chunk()
         stream = make_chunk_stream(
-            p.input[0],
-            p.len,
-            self._records_per_chunk(),
-            depth=self.DEPTH,
-            prefetch=self.PREFETCH,
+            p.input[0], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
         )
-        chunks = iter(stream)
         if resume:
-            num_read, counts = resume.restore(p, [chunks])
+            num_read, counts = resume.restore(p)
             fhs = None
         else:
             fhs = p._open_outputs(binary=True)
 
         self._writer = _Writer(compress_threads=self._compress_threads())
         timer = p.timer
-        prefetch = _Prefetcher(chunks, depth=self.PREFETCH)
+        cur = _RecordCursor(_Prefetcher(iter(stream), depth=self.PREFETCH))
         from collections import deque
 
         pending = deque()  # (fhs, data, offsets, records, start, nb, labels_dev)
+        # logical chunks are exactly rpc records (only the last is short), so
+        # resume/host-shard chunk indices are stable regardless of how the
+        # byte windows happened to split the file
         ci = resume.chunks_done if resume else 0
+        if resume and ci:
+            with timer.stage("parse"):
+                cur.skip(ci * rpc)
         while True:
             with timer.stage("parse"):
-                chunk = prefetch.get()
-            if chunk is None:
-                break
-            data, offsets, ptokens, lengths, clean, n = chunk
+                if not cur.ready():
+                    break
             if self._hosts > 1 and not host_chunk_assignment(
                 ci, self._hosts, self._host_id
             ):
+                with timer.stage("parse"):
+                    cur.skip(rpc)  # another host's chunk (parse cost only)
                 ci += 1
-                continue  # another host's chunk (parse cost only)
+                continue
             if resume:
                 fhs = resume.open_chunk(p, ci)
-            chunk_records = (
-                records_from_chunk_bytes(data, offsets, n)
-                if not clean.all()
-                else None
-            )
-            for start in range(0, n, bs):
-                nb = min(bs, n - start)
+            done = 0
+            while done < rpc:
+                with timer.stage("parse"):
+                    if not cur.ready():
+                        break
+                nb = min(bs, rpc - done, cur.chunk_avail())
+                data, boffsets, toks, lens, recs, start = cur.take(nb)
                 with timer.stage("infer_dispatch"):
-                    logits_dev = self._infer_tokens(
-                        ptokens[start : start + nb], lengths[start : start + nb]
-                    )
-                # snapshot the offsets rows: the stream's slot arrays rotate
-                # and will be overwritten while this batch is in flight
+                    logits_dev = self._infer_tokens(toks, lens)
                 pending.append(
-                    (
-                        fhs,
-                        data,
-                        offsets[start : start + nb].copy(),
-                        chunk_records,
-                        start,
-                        nb,
-                        logits_dev,
-                    )
+                    (fhs, data, boffsets, recs, start, nb, logits_dev)
                 )
                 if resume:
                     # chunk completion must cover all its batches
                     self._finish_single(counts, *pending.popleft())
                 elif len(pending) > self.DEPTH:
                     self._finish_single(counts, *pending.popleft())
-            num_read += n
+                done += nb
+            num_read += done
             if resume:
                 self._writer.barrier()
                 resume.complete_chunk(p, ci, fhs, num_read, counts)
             ci += 1
-            if p.chunk_size is not None:
-                p._log_progress(num_read)
+            self._log_progress(num_read)
         while pending:
             self._finish_single(counts, *pending.popleft())
         self._writer.close()
@@ -739,9 +835,8 @@ class NativeRunner:
         s2 = make_chunk_stream(
             p.input[1], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
         )
-        it1, it2 = iter(s1), iter(s2)
         if resume:
-            num_read, counts = resume.restore(p, [it1, it2])
+            num_read, counts = resume.restore(p)
             fhs = None
         else:
             fhs = p._open_outputs(binary=True)
@@ -749,66 +844,61 @@ class NativeRunner:
         self._writer = _Writer(compress_threads=self._compress_threads())
         timer = p.timer
         # one prefetch thread per input file: R1 and R2 parse concurrently
-        # (the reference uses Pool(2) the same way, detect.py:131-132)
-        pf1 = _Prefetcher(it1, depth=self.PREFETCH)
-        pf2 = _Prefetcher(it2, depth=self.PREFETCH)
+        # (the reference uses Pool(2) the same way, detect.py:131-132).
+        # Record-exact cursors keep the two sides pair-aligned even when the
+        # byte-window-adaptive streams split the files into different chunk
+        # record counts (see _RecordCursor).
+        cur1 = _RecordCursor(_Prefetcher(iter(s1), depth=self.PREFETCH))
+        cur2 = _RecordCursor(_Prefetcher(iter(s2), depth=self.PREFETCH))
         from collections import deque
 
         pending = deque()
+        # logical chunk = exactly rpc pairs; stable across runs and hosts
         ci = resume.chunks_done if resume else 0
+        if resume and ci:
+            with timer.stage("parse"):
+                cur1.skip(ci * rpc)
+                cur2.skip(ci * rpc)
         while True:
             with timer.stage("parse"):
-                c1 = pf1.get()
-                c2 = pf2.get()
-            if c1 is None or c2 is None:
-                break
-            d1, o1, t1, l1, cl1, n1 = c1
-            d2, o2, t2, l2, cl2, n2 = c2
-            n = min(n1, n2)  # quirk #8: truncate to the shorter file
+                if not (cur1.ready() and cur2.ready()):
+                    break  # quirk #8: pairs end at the shorter file
             if self._hosts > 1 and not host_chunk_assignment(
                 ci, self._hosts, self._host_id
             ):
+                with timer.stage("parse"):
+                    cur1.skip(rpc)  # another host's chunk (parse cost only)
+                    cur2.skip(rpc)
                 ci += 1
-                continue  # another host's chunk (parse cost only)
+                continue
             if resume:
                 fhs = resume.open_chunk(p, ci)
-            recs1 = records_from_chunk_bytes(d1, o1, n1) if not cl1[:n].all() else None
-            recs2 = records_from_chunk_bytes(d2, o2, n2) if not cl2[:n].all() else None
-            for start in range(0, n, bs):
-                nb = min(bs, n - start)
+            done = 0
+            while done < rpc:
+                with timer.stage("parse"):
+                    if not (cur1.ready() and cur2.ready()):
+                        break
+                nb = min(
+                    bs, rpc - done, cur1.chunk_avail(), cur2.chunk_avail()
+                )
+                d1, bo1, t1, l1, recs1, st1 = cur1.take(nb)
+                d2, bo2, t2, l2, recs2, st2 = cur2.take(nb)
                 with timer.stage("infer_dispatch"):
-                    logits_dev = self._infer_tokens(
-                        t1[start : start + nb],
-                        l1[start : start + nb],
-                        t2[start : start + nb],
-                        l2[start : start + nb],
-                    )
-                # snapshot offsets rows (stream arrays rotate; see run_single)
+                    logits_dev = self._infer_tokens(t1, l1, t2, l2)
                 pending.append(
-                    (
-                        fhs,
-                        d1,
-                        o1[start : start + nb].copy(),
-                        recs1,
-                        d2,
-                        o2[start : start + nb].copy(),
-                        recs2,
-                        start,
-                        nb,
-                        logits_dev,
-                    )
+                    (fhs, d1, bo1, recs1, st1, d2, bo2, recs2, st2, nb, logits_dev)
                 )
                 if resume:
                     self._finish_paired(counts, *pending.popleft())
                 elif len(pending) > self.DEPTH:
                     self._finish_paired(counts, *pending.popleft())
-            num_read += n
+                done += nb
+            num_read += done
             if resume:
                 self._writer.barrier()
                 resume.complete_chunk(p, ci, fhs, num_read, counts)
             ci += 1
-            if p.chunk_size is not None:
-                p._log_progress(num_read)
+            self._log_progress(num_read)
         while pending:
             self._finish_paired(counts, *pending.popleft())
         self._writer.close()
@@ -818,7 +908,9 @@ class NativeRunner:
             p._close_outputs(fhs)
         p._log_summary(num_read, counts)
 
-    def _finish_paired(self, counts, fhs, d1, bo1, recs1, d2, bo2, recs2, start, nb, labels_fut):
+    def _finish_paired(
+        self, counts, fhs, d1, bo1, recs1, st1, d2, bo2, recs2, st2, nb, labels_fut
+    ):
         p = self.p
         with p.timer.stage("infer_wait"):
             # final pair labels, reconciled on device (ensure truth table in
@@ -827,7 +919,10 @@ class NativeRunner:
         sel = {lab: np.flatnonzero(labels == lab) for lab in (0, 1, -1)}
         counts["norrna"] += len(sel[0])
         counts["rrna"] += len(sel[1])
-        for (data, boffsets, recs, side) in ((d1, bo1, recs1, 0), (d2, bo2, recs2, 1)):
+        for (data, boffsets, recs, start, side) in (
+            (d1, bo1, recs1, st1, 0),
+            (d2, bo2, recs2, st2, 1),
+        ):
             if recs is None:
                 w = lambda fh, s: self._write_sel(fh, data, boffsets, s)
             else:
@@ -842,6 +937,24 @@ class NativeRunner:
 
     # ------------------------------------------------------------------
 
+    def _log_progress(self, num_read):
+        """Per-chunk progress. Chunked mode logs every chunk (the
+        reference's per-chunk "N sequences finished!" message); whole-file
+        mode -- where the reference shows tqdm (detect.py:176-182) but a
+        native run would otherwise be silent until the summary -- logs the
+        same message throttled to every >= 5 s, with reads/s."""
+        import time
+
+        if self.p.chunk_size is not None:
+            self.p._log_progress(num_read)
+            return
+        now = time.monotonic()
+        if now - self._last_log >= 5.0:
+            rate = (num_read - self._last_read) / (now - self._last_log)
+            self.p._log_progress(num_read, rate=rate)
+            self._last_log = now
+            self._last_read = num_read
+
     def _compress_threads(self):
         """Deflate pool size: the CLI's -t host-thread budget (reference
         detect.py:783 semantics -- host-side worker parallelism), capped at
@@ -850,15 +963,7 @@ class NativeRunner:
         return max(0, min(int(t), os.cpu_count() or 1, 8))
 
     def _records_per_chunk(self):
-        p = self.p
-        if p.chunk_size is not None:
-            return p.batch_size * p.chunk_size
-        # whole-file mode: moderate streaming chunks so the host allocator
-        # reuses warm arenas (fresh multi-hundred-MB buffers hit this host's
-        # slow first-touch page faults); memory stays bounded either way,
-        # strictly better than the reference's load-everything behavior
-        # (detect.py:131-132)
-        return max(p.batch_size, 131072)
+        return records_per_chunk(self.p)
 
     def run(self):
         try:
@@ -910,19 +1015,22 @@ class ResumeState:
 
     def _config_key(self, p):
         return {
+            # v2: chunks are exactly records_per_chunk records (record-exact
+            # cursors); v1 manifests counted adaptive byte-window chunks and
+            # cannot be resumed by this code
+            "v": 2,
             "inputs": list(p.input),
             "len": p.len,
             "ensure": p.args.ensure,
-            "records_per_chunk": p.batch_size * p.chunk_size
-            if p.chunk_size is not None
-            else None,
+            "records_per_chunk": records_per_chunk(p),
         }
 
     # -- lifecycle -----------------------------------------------------
 
-    def restore(self, p, chunk_iters):
-        """Load the manifest (if any), skip completed chunks on every input
-        stream, and return (num_read, counts)."""
+    def restore(self, p):
+        """Load the manifest (if any) and return (num_read, counts); the
+        runner then skips chunks_done * records_per_chunk records on every
+        input cursor (record-exact, so paired inputs stay aligned)."""
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
         if os.path.exists(self.manifest_path):
@@ -942,9 +1050,6 @@ class ResumeState:
                     self.chunks_done, num_read
                 )
             )
-            for it in chunk_iters:
-                for _ in range(self.chunks_done):
-                    next(it, None)
         return num_read, counts
 
     def open_chunk(self, p, ci):

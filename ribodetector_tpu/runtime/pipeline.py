@@ -385,10 +385,13 @@ class Predictor:
         except Exception:
             return False
 
-    def _log_progress(self, num_read):
+    def _log_progress(self, num_read, rate=None):
         self.logger.info(
-            "{}{}{} sequences finished!".format(
-                colors.OKGREEN, num_read, colors.ENDC
+            "{}{}{} sequences finished!{}".format(
+                colors.OKGREEN,
+                num_read,
+                colors.ENDC,
+                "" if rate is None else " ({:,.0f} reads/s)".format(rate),
             )
         )
 
