@@ -14,6 +14,8 @@ ribodetector_600k_variable_len70_101_epoch47.pth, fp32, gate order i,f,g,o):
 
 Usage:
   python -m ribodetector_tpu.models.convert <checkpoint.pth> <out.npz>
+  python -m ribodetector_tpu.models.convert <in.npz> <out.pth>
+  python -m ribodetector_tpu.models.convert <in.npz> <out.onnx> [read_len]
 
 torch is required only by this converter, never by the inference engine.
 """
@@ -115,13 +117,90 @@ def export_checkpoint(npz_path: str, pth_path: str) -> dict:
     return meta
 
 
+def export_onnx(npz_path: str, onnx_path: str, read_len: int = 100) -> None:
+    """Export a native .npz artifact to a portable .onnx file -- the
+    reference converter's actual output format (reference:
+    ribodetector/convert_onnx.py:20-54: model_cpu.SeqModel traced at
+    [1, read_len, 4], opset 10, dynamic batch + sequence axes, tensor
+    names input/output).
+
+    The graph is the dense/ONNX forward (model_cpu.py:29-37,57-62): full
+    bidirectional LSTM over the padded input, output gathered at the last
+    nonzero input row. torch's TorchScript exporter produces the complete
+    serialized ModelProto in C++; the `onnx` python package is only
+    consulted for onnxscript custom functions (none here), so when it is
+    absent we skip that no-op pass instead of failing.
+    """
+    import contextlib
+
+    import torch
+    import torch.nn as nn
+
+    from ribodetector_tpu.models.bilstm import load_params
+
+    class SeqModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rnn = nn.LSTM(4, 128, 1, batch_first=True, bidirectional=True)
+            self.out = nn.Linear(256, 2)
+
+        def forward(self, x):
+            r_out, _ = self.rnn(x)
+            # last nonzero input row (model_cpu.py:57-62)
+            g = x.size(1) - 1 - x.sum(2).flip(1).argmax(1)
+            return self.out(r_out[torch.arange(x.size(0)), g, :])
+
+    model = SeqModel()
+    state = arrays_to_state_dict(load_params(npz_path))
+    model.load_state_dict({k: torch.from_numpy(v) for k, v in state.items()})
+    model.eval()
+
+    @contextlib.contextmanager
+    def _onnxscript_pass_optional():
+        try:
+            import onnx  # noqa: F401
+
+            yield  # real pass available
+            return
+        except ImportError:
+            pass
+        from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+        orig = onnx_proto_utils._add_onnxscript_fn
+        onnx_proto_utils._add_onnxscript_fn = lambda proto, custom_opsets: proto
+        try:
+            yield
+        finally:
+            onnx_proto_utils._add_onnxscript_fn = orig
+
+    dummy = torch.zeros(1, read_len, 4, dtype=torch.float32)
+    with _onnxscript_pass_optional():
+        torch.onnx.export(
+            model,
+            (dummy,),
+            onnx_path,
+            dynamo=False,
+            opset_version=10,
+            input_names=["input"],
+            output_names=["output"],
+            dynamic_axes={
+                "input": {0: "batch_size", 1: "sequence_len"},
+                "output": {0: "batch_size"},
+            },
+        )
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) != 2:
+    if len(argv) not in (2, 3):
         print(__doc__)
+        print("  python -m ribodetector_tpu.models.convert <in.npz> <out.onnx> [read_len]")
         raise SystemExit(2)
-    src, dst = argv
-    if src.endswith(".npz"):
+    src, dst = argv[0], argv[1]
+    if dst.endswith(".onnx"):
+        export_onnx(src, dst, int(argv[2]) if len(argv) == 3 else 100)
+        meta = {"opset": 10, "dynamic_axes": ["batch_size", "sequence_len"]}
+    elif src.endswith(".npz"):
         meta = export_checkpoint(src, dst)
     else:
         meta = convert_checkpoint(src, dst)

@@ -1,0 +1,157 @@
+"""ONNX export: .npz -> .onnx parity with the reference converter's output.
+
+The reference's converter emits an opset-10 ONNX graph with dynamic
+batch/sequence axes traced from model_cpu.SeqModel (reference:
+ribodetector/convert_onnx.py:45-54) and ships its output as
+ribodetector/data/*.onnx. Neither the `onnx` package nor onnxruntime is
+available here, so validation walks the protobuf wire format directly and
+compares every float initializer bit-for-bit against the reference's
+shipped .onnx (same weights, same exporter lineage).
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+REF_ONNX = "/root/reference/ribodetector/data/ribodetector_600k_variable_len70_101_epoch47.onnx"
+
+
+def _walk_pb(buf):
+    """Yield (field_number, wire_type, value) for one protobuf message."""
+    i, n = 0, len(buf)
+    while i < n:
+        tag = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            tag |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:  # varint
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield field, wt, v
+        elif wt == 2:  # length-delimited
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield field, wt, buf[i : i + ln]
+            i += ln
+        elif wt == 5:  # 32-bit
+            yield field, wt, buf[i : i + 4]
+            i += 4
+        elif wt == 1:  # 64-bit
+            yield field, wt, buf[i : i + 8]
+            i += 8
+        else:  # pragma: no cover
+            raise ValueError(f"wire type {wt}")
+
+
+def _onnx_summary(path):
+    """(ir_version, opset, n_nodes, op_types, float_initializers) from a
+    serialized ModelProto, no onnx package needed."""
+    with open(path, "rb") as fh:
+        model = fh.read()
+    ir_version = None
+    opset = None
+    graph = None
+    for f, wt, v in _walk_pb(model):
+        if f == 1 and wt == 0:
+            ir_version = v
+        elif f == 8 and wt == 2:  # opset_import: OperatorSetIdProto
+            for f2, _, v2 in _walk_pb(v):
+                if f2 == 2:
+                    opset = v2
+        elif f == 7 and wt == 2:  # graph
+            graph = v
+    assert graph is not None
+    op_types = []
+    inits = []
+    for f, wt, v in _walk_pb(graph):
+        if f == 1 and wt == 2:  # node
+            for f2, _, v2 in _walk_pb(v):
+                if f2 == 4:  # op_type
+                    op_types.append(v2.decode())
+        elif f == 5 and wt == 2:  # initializer: TensorProto
+            dtype, raw, floats = None, None, []
+            for f2, wt2, v2 in _walk_pb(v):
+                if f2 == 2 and wt2 == 0:
+                    dtype = v2
+                elif f2 == 9 and wt2 == 2:
+                    raw = v2
+                elif f2 == 4 and wt2 == 2:  # packed float_data
+                    floats = np.frombuffer(v2, np.float32)
+                elif f2 == 4 and wt2 == 5:
+                    floats.append(struct.unpack("<f", v2)[0])
+            if dtype == 1:  # FLOAT
+                arr = (
+                    np.frombuffer(raw, np.float32)
+                    if raw is not None
+                    else np.asarray(floats, np.float32)
+                )
+                if arr.size:
+                    inits.append(arr)
+    return ir_version, opset, op_types, inits
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory, ref_params_path):
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from ribodetector_tpu.models.convert import export_onnx
+
+    out = str(tmp_path_factory.mktemp("onnx") / "rd.onnx")
+    export_onnx(ref_params_path, out, 100)
+    return out
+
+
+def test_export_structure(exported):
+    ir, opset, ops, inits = _onnx_summary(exported)
+    assert ir is not None and opset == 10
+    assert "LSTM" in ops  # the bidirectional recurrence survived tracing
+    assert "Gemm" in ops or "MatMul" in ops  # the Linear(256, 2) head
+    # all 137,730 parameters present as float tensors
+    assert sum(a.size for a in inits) >= 137730
+
+
+@pytest.mark.skipif(not os.path.exists(REF_ONNX), reason="reference onnx absent")
+def test_export_weights_match_reference_onnx(exported):
+    """Every float initializer must match the reference's shipped .onnx
+    bit-for-bit (the npz was degated from the same checkpoint; ONNX LSTM
+    repacks gates i,o,f,c identically in both exports)."""
+    _, _, _, got = _onnx_summary(exported)
+    _, _, _, want = _onnx_summary(REF_ONNX)
+
+    def keyed(arrs):
+        return sorted(arrs, key=lambda a: (a.size, a.tobytes()))
+
+    got_w = [a for a in keyed(got) if a.size >= 512]
+    want_w = [a for a in keyed(want) if a.size >= 512]
+    assert [a.size for a in got_w] == [a.size for a in want_w]
+    for a, b in zip(got_w, want_w):
+        if a.size == 2048:
+            # ONNX LSTM B = [dirs, Wb(512) ++ Rb(512)]. The npz stores the
+            # torch bias PAIR's sum in b_ih with b_hh zeroed (the cell only
+            # uses Wb+Rb), so compare the per-direction bias sums.
+            np.testing.assert_array_equal(
+                a.reshape(2, 2, 512).sum(1), b.reshape(2, 2, 512).sum(1)
+            )
+        else:
+            np.testing.assert_array_equal(a, b)
