@@ -81,6 +81,10 @@ fast:  one bf16 pass, fastest, ~0.2%% of borderline reads may flip label""")
                       help="Shard the input stream over N cooperating hosts: each host classifies\nits round-robin share of the chunks and writes per-host output shards\n(<name>.hostNNN; gz shards concatenate into a valid gz file).\nRun once per host with a distinct --host-id. (default: 1)")
     args.add_argument("--host-id", default=0, type=int,
                       help="This process's shard index in [0, --hosts). (default: 0)")
+    args.add_argument("--coordinator", default=None, type=str,
+                      help="host:port of host 0 -- turns the --hosts mode into a coordinated\njax.distributed run: global summary counts are psum-merged over DCN and\nhost 0 concatenates all per-host shards into the final outputs\n(shared filesystem assumed). Requires --num-hosts and --host-id.")
+    args.add_argument("--num-hosts", default=None, type=int,
+                      help="Total number of cooperating processes for --coordinator mode.")
     args.add_argument("-v", "--version", action="version",
                       version="%(prog)s {version}".format(version=__version__))
     return args
@@ -101,6 +105,21 @@ def main(argv=None):
         # restrict visible TPU chips, analogous to CUDA_VISIBLE_DEVICES
         # gating in the reference (detect.py:90-91)
         os.environ.setdefault("TPU_VISIBLE_DEVICES", args.deviceid)
+    if args.coordinator is not None:
+        # multi-host runtime (SURVEY.md 5 "Distributed communication
+        # backend"): one coordinated jax.distributed process group; must run
+        # before any backend initialization
+        if not args.num_hosts or args.num_hosts < 2:
+            raise SystemExit("--coordinator requires --num-hosts >= 2")
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.host_id,
+        )
+        args.hosts = jax.process_count()
+        args.host_id = jax.process_index()
     config_file = args.config if args.config is not None else DEFAULT_CONFIG
     config = ConfigParser.from_json(config_file)
     if args.kernel is not None:

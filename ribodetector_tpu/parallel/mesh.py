@@ -14,8 +14,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_data_mesh(num_devices: int | None = None) -> Mesh:
-    """1-D mesh over all (or the first N) local devices: axis "data"."""
-    devices = jax.devices()
+    """1-D mesh over all (or the first N) LOCAL devices: axis "data".
+
+    Local, not global: under a multi-host jax.distributed runtime each host
+    classifies its own chunk shard on its own chips (the chunk round-robin
+    in runtime/ is the cross-host data parallelism; only summary counters
+    cross DCN)."""
+    devices = jax.local_devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), ("data",))

@@ -477,6 +477,7 @@ class _Writer:
     (detect.py:739, compresslevel=5 on one thread)."""
 
     _DONE = object()
+    _CLOSE = object()
     POOL = 4
     BLOCK = 2 << 20
 
@@ -503,6 +504,15 @@ class _Writer:
             if item is self._DONE:
                 return
             fh, payload, scratch = item
+            if payload is self._CLOSE:
+                # ordered close: runs after every write previously enqueued
+                # for this handle (per-chunk part files in distributed mode)
+                try:
+                    fh.close()
+                except BaseException as e:  # pragma: no cover - disk errors
+                    if self._exc is None:
+                        self._exc = e
+                continue
             try:
                 # after a write error, keep draining (and signalling
                 # barriers) so producers unblock and see the stored error
@@ -571,6 +581,11 @@ class _Writer:
             return compress_member(sub)
         finally:
             sub.release()
+
+    def close_fh(self, fh):
+        """Enqueue an ordered close for fh: it happens strictly after every
+        write already enqueued for it."""
+        self._q.put((fh, self._CLOSE, None))
 
     def barrier(self):
         """Block until everything enqueued so far has been written."""
@@ -667,6 +682,27 @@ class NativeRunner:
 
         self._last_log = time.monotonic()
         self._last_read = 0
+        # distributed parts mode: finished batches note their chunk's file
+        # handles; a change of handles means the previous chunk's writes are
+        # all enqueued and its files can close (writer-ordered)
+        self._parts_mode = False
+        self._prev_fhs = None
+
+    def _note_batch_fhs(self, fhs):
+        if not self._parts_mode or fhs is self._prev_fhs:
+            return
+        if self._prev_fhs is not None:
+            for group in self._prev_fhs.values():
+                for fh in group:
+                    self._writer.close_fh(fh)
+        self._prev_fhs = fhs
+
+    def _close_last_parts(self):
+        if self._parts_mode and self._prev_fhs is not None:
+            for group in self._prev_fhs.values():
+                for fh in group:
+                    self._writer.close_fh(fh)
+            self._prev_fhs = None
 
     # -- batching ------------------------------------------------------
 
@@ -739,9 +775,13 @@ class NativeRunner:
         stream = make_chunk_stream(
             p.input[0], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
         )
+        parts = DistributedParts(p) if getattr(p, "distributed", False) else None
+        self._parts_mode = parts is not None
         if resume:
             num_read, counts = resume.restore(p)
             fhs = None
+        elif parts:
+            fhs = None  # per-chunk part files; host 0 merges after barrier
         else:
             fhs = p._open_outputs(binary=True)
 
@@ -771,6 +811,8 @@ class NativeRunner:
                 continue
             if resume:
                 fhs = resume.open_chunk(p, ci)
+            elif parts:
+                fhs = parts.open_chunk(p, ci)
             done = 0
             while done < rpc:
                 with timer.stage("parse"):
@@ -797,14 +839,16 @@ class NativeRunner:
             self._log_progress(num_read)
         while pending:
             self._finish_single(counts, *pending.popleft())
+        self._close_last_parts()
         self._writer.close()
         if resume:
             resume.merge(p)
-        else:
+        elif not parts:  # parts: host 0 merges after the global barrier
             p._close_outputs(fhs)
         p._log_summary(num_read, counts)
 
     def _finish_single(self, counts, fhs, data, boffsets, chunk_records, start, nb, labels_fut):
+        self._note_batch_fhs(fhs)
         with self.p.timer.stage("infer_wait"):
             labels = np.asarray(labels_fut.result())[:nb]
         sel0 = np.flatnonzero(labels == 0)
@@ -835,9 +879,13 @@ class NativeRunner:
         s2 = make_chunk_stream(
             p.input[1], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
         )
+        parts = DistributedParts(p) if getattr(p, "distributed", False) else None
+        self._parts_mode = parts is not None
         if resume:
             num_read, counts = resume.restore(p)
             fhs = None
+        elif parts:
+            fhs = None  # per-chunk part files; host 0 merges after barrier
         else:
             fhs = p._open_outputs(binary=True)
 
@@ -873,6 +921,8 @@ class NativeRunner:
                 continue
             if resume:
                 fhs = resume.open_chunk(p, ci)
+            elif parts:
+                fhs = parts.open_chunk(p, ci)
             done = 0
             while done < rpc:
                 with timer.stage("parse"):
@@ -901,10 +951,11 @@ class NativeRunner:
             self._log_progress(num_read)
         while pending:
             self._finish_paired(counts, *pending.popleft())
+        self._close_last_parts()
         self._writer.close()
         if resume:
             resume.merge(p)
-        else:
+        elif not parts:  # parts: host 0 merges after the global barrier
             p._close_outputs(fhs)
         p._log_summary(num_read, counts)
 
@@ -912,6 +963,7 @@ class NativeRunner:
         self, counts, fhs, d1, bo1, recs1, st1, d2, bo2, recs2, st2, nb, labels_fut
     ):
         p = self.p
+        self._note_batch_fhs(fhs)
         with p.timer.stage("infer_wait"):
             # final pair labels, reconciled on device (ensure truth table in
             # runtime/ensure.py paired_final_labels_jnp)
@@ -1096,5 +1148,24 @@ class ResumeState:
                                 shutil.copyfileobj(part, out, 8 << 20)
                 if os.path.isdir(parts_dir):
                     shutil.rmtree(parts_dir)
-        if os.path.exists(self.manifest_path):
+        if self.manifest_path and os.path.exists(self.manifest_path):
             os.remove(self.manifest_path)
+
+
+class DistributedParts(ResumeState):
+    """Write layout for the coordinated multi-host mode (--coordinator).
+
+    Every host writes its owned logical chunks to per-chunk part files in
+    the SAME shared .parts directories (no manifest), so after all hosts
+    pass the global barrier, host 0's merge concatenates ALL hosts' parts
+    in chunk order -- the round-robin chunk assignment interleaves back
+    into input order and the merged outputs are byte-identical to a
+    single-host run of the same command. The reference has no multi-host
+    counterpart (SURVEY.md 2 "Distributed backend": none); this is the
+    TPU-native design from SURVEY.md 5 (per-host shards + DCN-merged
+    counters, outputs concatenated in deterministic shard order).
+    """
+
+    def __init__(self, p):
+        self.manifest_path = None
+        self.chunks_done = 0

@@ -108,8 +108,11 @@ class Predictor:
         self.precision_mode = getattr(self.args, "precision", None) or runtime_cfg.get(
             "precision", "high"
         )
-        self.device = jax.devices()[0]
-        # Multi-chip: every visible device joins a 1-D data mesh (weights
+        # local devices: under a multi-host jax.distributed runtime each
+        # host classifies its own chunk shard on its own chips (weights are
+        # tiny and replicated; only summary counters cross DCN)
+        self.device = jax.local_devices()[0]
+        # Multi-chip: every local device joins a 1-D data mesh (weights
         # replicated -- 554 KB -- batch rows sharded on ICI). The reference's
         # counterpart is the latent torch DataParallel branch (detect.py:95-96);
         # here it is on by default whenever >1 chip is visible. Batches are
@@ -118,7 +121,7 @@ class Predictor:
         self.mesh = None
         self.input_sharding = None
         self.length_sharding = None
-        n_dev = len(jax.devices())
+        n_dev = len(jax.local_devices())
         if n_dev > 1 and (n_dev & (n_dev - 1)) == 0:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -306,7 +309,11 @@ class Predictor:
 
         # multi-host chunk sharding (SURVEY.md "Distributed backend" row):
         # each cooperating host takes its round-robin share of the chunk
-        # stream and writes per-host output shards the user concatenates
+        # stream and writes per-host output shards. With --coordinator the
+        # hosts form one jax.distributed process group: counts psum-merge
+        # over DCN and host 0 concatenates the shards; without it the user
+        # concatenates <name>.host* manually.
+        self.distributed = getattr(self.args, "coordinator", None) is not None
         self.hosts = max(1, int(getattr(self.args, "hosts", 1) or 1))
         self.host_id = int(getattr(self.args, "host_id", 0) or 0)
         if self.hosts > 1:
@@ -321,15 +328,23 @@ class Predictor:
                     "--hosts requires the native streaming path "
                     "(g++-built parser; runtime.native=true)"
                 )
-            self.output = [self._host_shard_path(f) for f in self.output]
-            if self.rrna is not None:
-                self.rrna = [self._host_shard_path(f) for f in self.rrna]
-            self.logger.info(
-                "Host shard {}/{}: writing per-host outputs (concatenate "
-                "<name>.host* shards when all hosts finish)".format(
-                    self.host_id, self.hosts
+            if self.distributed:
+                self.logger.info(
+                    "Coordinated host {}/{}: chunk parts on the shared "
+                    "filesystem; host 0 merges the final outputs".format(
+                        self.host_id, self.hosts
+                    )
                 )
-            )
+            else:
+                self.output = [self._host_shard_path(f) for f in self.output]
+                if self.rrna is not None:
+                    self.rrna = [self._host_shard_path(f) for f in self.rrna]
+                self.logger.info(
+                    "Host shard {}/{}: writing per-host outputs (concatenate "
+                    "<name>.host* shards when all hosts finish)".format(
+                        self.host_id, self.hosts
+                    )
+                )
 
         self.is_paired = num_inputs == 2
         self.batch_size = auto_batch_size(self.args.memory, self.len, self.is_paired)
@@ -360,6 +375,8 @@ class Predictor:
                     self.run()
                 else:
                     self.run_with_chunks()
+        if self.distributed:
+            self._finalize_distributed()
         if self.timer.enabled:
             self.logger.info(self.timer.summary())
 
@@ -458,7 +475,33 @@ class Predictor:
         if "rrna" in fhs:
             self._write_bucket(fhs["rrna"][0], buckets.get(1, ()))
 
+    def _finalize_distributed(self):
+        """Multi-host epilogue: psum-merge the per-host summary counters
+        over DCN (SURVEY.md 5 "final count reduction"), barrier so every
+        host's chunk parts are closed and visible, then host 0 concatenates
+        ALL hosts' parts in chunk order into the final outputs -- merged
+        bytes identical to a single-host run."""
+        from jax.experimental import multihost_utils
+
+        from ribodetector_tpu.parallel.sharded import merge_counts
+        from ribodetector_tpu.runtime.native_pipeline import DistributedParts
+
+        num_read, counts = getattr(
+            self, "_final", (0, {"norrna": 0, "rrna": 0, "unclf": 0})
+        )
+        merged = merge_counts({"num_read": num_read, **counts})
+        multihost_utils.sync_global_devices("ribodetector_tpu parts written")
+        if self.host_id == 0:
+            DistributedParts(self).merge(self)
+            self.logger.info(
+                "Merged outputs from {} hosts:".format(self.hosts)
+            )
+            self._log_summary(merged.pop("num_read"), merged)
+        # no host may exit while host 0 is still reading its part files
+        multihost_utils.sync_global_devices("ribodetector_tpu merge done")
+
     def _log_summary(self, num_seqs, counts):
+        self._final = (num_seqs, dict(counts))
         self.logger.info(
             "Processed {}{}{}{} sequences in total".format(
                 colors.BOLD, colors.OKCYAN, num_seqs, colors.ENDC

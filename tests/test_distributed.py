@@ -1,0 +1,97 @@
+"""Coordinated multi-host runtime: 2 real processes over jax.distributed.
+
+SURVEY.md 5 "Distributed communication backend": the reference has no
+multi-host anything; the TPU-native design is jax.distributed.initialize +
+per-host chunk shards + DCN-merged counters + deterministic merged outputs.
+This test runs the REAL CLI in two coordinated CPU-backend processes
+(--coordinator/--num-hosts/--host-id) against a shared tmp directory and
+asserts host 0's merged outputs are byte-identical to a single-host run.
+"""
+
+import gzip
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from ribodetector_tpu.cli import main as cli_main
+from tests.test_cli_end2end import write_fastq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEN = 50
+N = 3000
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _mk_inputs(d):
+    base = "ACGTTGCA" * 10
+    seqs1 = [base[: 20 + (i * 7) % 30] for i in range(N)]
+    seqs2 = [base[3 : 23 + (i * 5) % 27] for i in range(N)]
+    names = [f"d{i}" for i in range(N)]
+    write_fastq(d / "r1.fq", names, seqs1)
+    write_fastq(d / "r2.fq", names, seqs2)
+
+
+def _argv(d, tag):
+    return [
+        "-l", str(LEN),
+        "-i", str(d / "r1.fq"), str(d / "r2.fq"),
+        "-o", str(d / f"{tag}_o1.fq"), str(d / f"{tag}_o2.fq.gz"),
+        "-r", str(d / f"{tag}_rr1.fq"), str(d / f"{tag}_rr2.fq"),
+        "-e", "both", "-m", "4", "--chunk_size", "1", "--kernel", "scan",
+    ]
+
+
+def test_two_process_distributed_merge(tmp_path):
+    _mk_inputs(tmp_path)
+    # golden: single host, same command
+    cli_main(_argv(tmp_path, "single"))
+
+    port = _free_port()
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "ribodetector_tpu", *_argv(tmp_path, "dist"),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-hosts", "2", "--host-id", str(hid)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for hid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+
+    def content(path):
+        if str(path).endswith("gz"):
+            with gzip.open(path, "rb") as fh:
+                return fh.read()
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    # merged outputs byte-identical (plain) / content-identical (gz) to the
+    # single-host run; no .host* shards and no leftover .parts dirs
+    for suffix in ("o1.fq", "o2.fq.gz", "rr1.fq", "rr2.fq",
+                   "o1.fq.unclassified.gz", "o2.fq.gz.unclassified.gz"):
+        single = tmp_path / f"single_{suffix}"
+        dist = tmp_path / f"dist_{suffix}"
+        assert dist.exists(), suffix
+        assert content(dist) == content(single), suffix
+    leftovers = [p.name for p in tmp_path.iterdir()
+                 if ".parts" in p.name or ".host" in p.name]
+    assert leftovers == []
+
+    # host 0 logged the DCN-merged global summary
+    err0 = outs[0][1]
+    assert "Merged outputs from 2 hosts" in err0
+    assert f"Processed" in err0
