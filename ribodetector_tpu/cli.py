@@ -39,16 +39,16 @@ def build_arg_parser():
                       help="Path of the output sequence file of detected rRNAs (same number of files as input)")
     args.add_argument("-e", "--ensure", default="none", type=str,
                       choices=["rrna", "norrna", "both", "none"],
-                      help="""Ensure which classificaion has high confidence for paired end reads.
-norrna: output only high confident non-rRNAs, the rest are clasified as rRNAs;
+                      help="""Ensure which classification has high confidence for paired end reads.
+norrna: output only high confident non-rRNAs, the rest are classified as rRNAs;
 rrna: vice versa, only high confident rRNAs are classified as rRNA and the rest output as non-rRNAs;
 both: both non-rRNA and rRNA prediction with high confidence;
 none: give label based on the mean probability of read pair.
-      (Only applicable for paired end reads, discard the read pair when their predicitons are discordant)""")
+      (Only applicable for paired end reads, discard the read pair when their predictions are discordant)""")
     args.add_argument("-t", "--threads", default=10, type=int,
                       help="Number of host threads to use. (default: 10)")
     args.add_argument("-m", "--memory", default=32, type=int,
-                      help="Amount (GB) of device RAM for batch sizing. (default: 32)")
+                      help="Amount (GB) of device RAM for batch sizing. (default: 32)\nHost-side note: the native streaming path additionally keeps a pool of\n~12 parse windows (sized from chunk records; doubled for paired input)\nplus up to -t+4 compression scratch buffers in flight -- typically a few\nhundred MB of host RAM on top of the chunk itself.")
     args.add_argument("--chunk_size", default=None, type=int,
                       help="Use this parameter when having low memory. Parsing the file in chunks.\n{}.\n{}.".format(
                           "Not needed when free RAM >=5 * your_file_size (uncompressed, sum of paired ends)",
@@ -77,6 +77,8 @@ high:  2-limb-split fp32 fused into one MXU launch per step + tanh-form
        random reads; the reference's own cuDNN and onnxruntime engines
        disagree with each other on such reads too) (default);
 fast:  one bf16 pass, fastest, ~0.2%% of borderline reads may flip label""")
+    args.add_argument("--buckets", default=None, type=str,
+                      help="Length-bucketed batching for variable-length reads: auto (64-step\npadded-T grid up to -l; each read runs the smallest fitting bucket with\nexact full-length semantics via a precomputed backward-carry init), off,\nor a comma list of bucket lengths. (default: auto)")
     args.add_argument("--hosts", default=1, type=int,
                       help="Shard the input stream over N cooperating hosts: each host classifies\nits round-robin share of the chunks and writes per-host output shards\n(<name>.hostNNN; gz shards concatenate into a valid gz file).\nRun once per host with a distinct --host-id. (default: 1)")
     args.add_argument("--host-id", default=0, type=int,
@@ -103,8 +105,29 @@ def main(argv=None):
             pass
     if args.deviceid is not None:
         # restrict visible TPU chips, analogous to CUDA_VISIBLE_DEVICES
-        # gating in the reference (detect.py:90-91)
-        os.environ.setdefault("TPU_VISIBLE_DEVICES", args.deviceid)
+        # gating in the reference (detect.py:90-91). Must take effect before
+        # jax initializes; fail loudly instead of silently classifying on
+        # the wrong chips if it cannot.
+        prev = os.environ.get("TPU_VISIBLE_DEVICES")
+        if prev is not None and prev != args.deviceid:
+            raise SystemExit(
+                f"--deviceid {args.deviceid} conflicts with "
+                f"TPU_VISIBLE_DEVICES={prev} already set in the environment; "
+                "unset one of them."
+            )
+        try:
+            import jax._src.xla_bridge as xb
+
+            backend_live = bool(getattr(xb, "_backends", None))
+        except Exception:  # pragma: no cover - private API moved
+            backend_live = False
+        if backend_live:
+            raise SystemExit(
+                "--deviceid was given after the JAX backend already "
+                "initialized in this process; it cannot take effect. Set "
+                "TPU_VISIBLE_DEVICES in the environment instead."
+            )
+        os.environ["TPU_VISIBLE_DEVICES"] = args.deviceid
     if args.coordinator is not None:
         # multi-host runtime (SURVEY.md 5 "Distributed communication
         # backend"): one coordinated jax.distributed process group; must run

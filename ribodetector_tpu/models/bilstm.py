@@ -146,6 +146,45 @@ def dense_gather_index(tokens):
     return jnp.where(last < 0, T - 1, last).astype(jnp.int32)
 
 
+def zero_prefix_state(
+    params: BiLSTMParams,
+    k: int,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+    compute_dtype=jnp.float32,
+):
+    """Backward-direction (h, c) after k zero-input steps from zero state.
+
+    The basis of exact length-bucketed batching (BASELINE config 4): under
+    dense/ONNX semantics the backward LSTM absorbs every zero row above a
+    read's last non-zero base -- max_len-1 down through pads and trailing
+    Ns -- and zero-input steps depend only on their COUNT (input projection
+    contributes just the bias). So a [B, T_bucket] batch with the backward
+    carry initialized to zero_prefix_state(params, max_len - T_bucket)
+    reproduces the full [B, max_len] recurrence exactly for every read
+    whose tokens fit the bucket (reference semantics:
+    ribodetector/model/model_cpu.py:29-37,57-62 with
+    seq_encoder.py:130-145 zero padding). All-zero reads are the one
+    exception (their gather index is T-1 by the argmax-of-zeros quirk,
+    which is bucket-dependent) -- the router sends those to the full
+    bucket.
+
+    Returns (h, c), each [1, HIDDEN] in compute_dtype.
+    """
+    cd = compute_dtype
+    gates_x = params.b_b.astype(cd)[None, :]  # zero input row: bias only
+    w_hh_b = params.w_hh_b.astype(cd)
+    h0 = jnp.zeros((1, HIDDEN), cd)
+
+    def step(carry, _):
+        h, c = carry
+        h, c = _lstm_cell(h, c, gates_x, w_hh_b, precision)
+        return (h, c), None
+
+    (h, c), _ = jax.lax.scan(step, (h0, h0), None, length=k)
+    return h, c
+
+
 def _lstm_cell(h, c, gates_x, w_hh, precision):
     """One torch-ordered (i,f,g,o) LSTM cell step.
 
@@ -166,6 +205,7 @@ def bilstm_logits(
     semantics: str = "dense",
     precision=jax.lax.Precision.HIGHEST,
     compute_dtype=jnp.float32,
+    bwd_init=None,
 ):
     """Classify a padded batch of token reads.
 
@@ -176,6 +216,9 @@ def bilstm_logits(
       semantics: "dense" (ONNX/detect_cpu parity) or "packed" (cuDNN parity).
       precision: matmul precision (HIGHEST for fp32 argmax parity).
       compute_dtype: recurrence dtype (float32 for parity, bfloat16 for speed).
+      bwd_init: optional (h, c) [1, HIDDEN] backward-carry init from
+        zero_prefix_state -- length-bucketed batching under dense semantics
+        (T < max_len stands in for the absorbed zero-pad prefix).
 
     Returns: [B, 2] logits (class 0 = non-rRNA, 1 = rRNA; quirk #10).
     """
@@ -184,6 +227,9 @@ def bilstm_logits(
     packed = semantics == "packed"
     if packed and lengths is None:
         raise ValueError("packed semantics requires lengths")
+    if packed and bwd_init is not None:
+        raise ValueError("bwd_init is a dense-semantics device (packed "
+                         "buckets are exact without it)")
 
     B, T = tokens.shape
     tokens = tokens.astype(jnp.int32)
@@ -206,7 +252,12 @@ def bilstm_logits(
         gather_idx = dense_gather_index(tokens)
 
     h0 = jnp.zeros((B, HIDDEN), cd)
-    zeros6 = (h0, h0, h0, h0, h0, h0)
+    if bwd_init is not None:
+        hb0 = jnp.broadcast_to(bwd_init[0].astype(cd), (B, HIDDEN))
+        cb0 = jnp.broadcast_to(bwd_init[1].astype(cd), (B, HIDDEN))
+    else:
+        hb0, cb0 = h0, h0
+    zeros6 = (h0, h0, hb0, cb0, h0, h0)
 
     # The two directions run in ONE scan: step t advances the forward cell at
     # position t and the backward cell at position T-1-t, capturing each

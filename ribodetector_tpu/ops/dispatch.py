@@ -13,8 +13,18 @@ from ribodetector_tpu.models.bilstm import bilstm_logits
 
 
 def _on_tpu() -> bool:
+    """True when the default backend is a TPU, including TPU chips exposed
+    through proxy/plugin platforms (the development tunnel registers as
+    platform "axon" while the devices are real TPU chips -- matching on
+    the literal "tpu" alone would silently route kernel="auto" to the scan
+    path on the very hardware the Pallas kernel exists for)."""
     try:
-        return jax.default_backend() == "tpu"
+        backend = jax.default_backend()
+        if backend == "tpu":
+            return True
+        dev = jax.devices()[0]
+        kind = (getattr(dev, "device_kind", "") or "").lower()
+        return "tpu" in kind or backend == "axon"
     except Exception:  # pragma: no cover
         return False
 
@@ -45,12 +55,15 @@ def classify_logits(
     precision=jax.lax.Precision.HIGHEST,
     kernel="auto",
     matmul="auto",
+    bwd_init=None,
 ):
     """[B, T] tokens -> [B, 2] logits using the selected kernel.
 
     matmul selects the Pallas MXU precision mode ("x6" exact / "x3"
     argmax-parity / "x1" fast / "auto"); the scan kernel runs fp32 natively
-    so the flag only affects the Pallas path.
+    so the flag only affects the Pallas path. bwd_init is the
+    length-bucketing backward-carry init (models/bilstm.py
+    zero_prefix_state).
     """
     if kernel == "auto":
         kernel = "pallas" if _on_tpu() else "scan"
@@ -65,6 +78,7 @@ def classify_logits(
             compute_dtype=compute_dtype,
             precision=precision,
             matmul=matmul,
+            bwd_init=bwd_init,
         )
     if kernel == "scan":
         return bilstm_logits(
@@ -74,5 +88,6 @@ def classify_logits(
             semantics=semantics,
             compute_dtype=compute_dtype,
             precision=precision,
+            bwd_init=bwd_init,
         )
     raise ValueError(f"unknown kernel: {kernel}")

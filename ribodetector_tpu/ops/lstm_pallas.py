@@ -113,6 +113,8 @@ def _kernel_x3cat(
     wcat3_b_ref,  # [512, 384]
     tokw_f_ref,  # [512, 8] f32 per-token gate columns (incl bias; col 4 = bias)
     tokw_b_ref,  # [512, 8]
+    hb0_ref,  # [128, 1] f32 backward-carry init (length bucketing; zeros else)
+    cb0_ref,  # [128, 1] f32
     out_ref,  # [256, TILE_B]: rows 0:128 fwd capture, 128:256 bwd capture
     h_f,  # scratch [128, TILE_B] f32
     h_b,  # scratch [128, TILE_B] f32
@@ -130,9 +132,9 @@ def _kernel_x3cat(
     tile_b = out_ref.shape[1]
 
     h_f[...] = jnp.zeros((HIDDEN, tile_b), jnp.float32)
-    h_b[...] = jnp.zeros((HIDDEN, tile_b), jnp.float32)
+    h_b[...] = jnp.broadcast_to(hb0_ref[...], (HIDDEN, tile_b))
     c_f[...] = jnp.zeros((HIDDEN, tile_b), jnp.float32)
-    c_b[...] = jnp.zeros((HIDDEN, tile_b), jnp.float32)
+    c_b[...] = jnp.broadcast_to(cb0_ref[...], (HIDDEN, tile_b))
     out_ref[...] = jnp.zeros((2 * HIDDEN, tile_b), jnp.float32)
 
     gather = gather_ref[...]  # [1, TILE_B]
@@ -217,6 +219,8 @@ def _kernel(
     length_ref,  # [1, TILE_B] int32: true lengths (packed masking)
     wcat_f_ref,  # [512, 136] fused weight in compute dtype
     wcat_b_ref,  # [512, 136]
+    hb0_ref,  # [128, 1] f32 backward-carry init (length bucketing; zeros else)
+    cb0_ref,  # [128, 1] f32
     out_ref,  # [256, TILE_B]: rows 0:128 fwd capture, 128:256 bwd capture
     hcat_f,  # scratch [136, TILE_B]
     hcat_b,  # scratch [136, TILE_B]
@@ -233,8 +237,9 @@ def _kernel(
 
     hcat_f[...] = jnp.zeros((KDIM, tile_b), cdt)
     hcat_b[...] = jnp.zeros((KDIM, tile_b), cdt)
+    hcat_b[0:HIDDEN, :] = jnp.broadcast_to(hb0_ref[...], (HIDDEN, tile_b)).astype(cdt)
     c_f[...] = jnp.zeros((HIDDEN, tile_b), cdt)
-    c_b[...] = jnp.zeros((HIDDEN, tile_b), cdt)
+    c_b[...] = jnp.broadcast_to(cb0_ref[...], (HIDDEN, tile_b)).astype(cdt)
     out_ref[...] = jnp.zeros((2 * HIDDEN, tile_b), jnp.float32)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (OH, tile_b), 0)
@@ -340,6 +345,7 @@ def bilstm_logits_pallas(
     precision=jax.lax.Precision.HIGHEST,
     matmul: str = "auto",
     interpret: bool = False,
+    bwd_init=None,
 ):
     """Pallas-kernel twin of models.bilstm.bilstm_logits (same contract).
 
@@ -351,6 +357,9 @@ def bilstm_logits_pallas(
     packed = semantics == "packed"
     if packed and lengths is None:
         raise ValueError("packed semantics requires lengths")
+    if packed and bwd_init is not None:
+        raise ValueError("bwd_init is a dense-semantics device (packed "
+                         "buckets are exact without it)")
     if matmul == "auto":
         matmul = "x3" if compute_dtype == jnp.float32 else "x1"
     if matmul not in ("x1", "x3", "x6"):
@@ -387,6 +396,17 @@ def bilstm_logits_pallas(
         pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     common_args = (tokens.T, gather.reshape(1, Bp), lengths.reshape(1, Bp))
+    # backward-carry init (length bucketing): [128, 1] broadcast in-kernel
+    if bwd_init is None:
+        hb0 = jnp.zeros((HIDDEN, 1), jnp.float32)
+        cb0 = hb0
+    else:
+        hb0 = bwd_init[0].reshape(HIDDEN, 1).astype(jnp.float32)
+        cb0 = bwd_init[1].reshape(HIDDEN, 1).astype(jnp.float32)
+    bwd_specs = [
+        pl.BlockSpec((HIDDEN, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((HIDDEN, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
     out_spec = pl.BlockSpec(
         (2 * HIDDEN, tile), lambda i: (0, i), memory_space=pltpu.VMEM
     )
@@ -436,7 +456,8 @@ def bilstm_logits_pallas(
                 ),
                 pl.BlockSpec((GATES, OH), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((GATES, OH), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
+            ]
+            + bwd_specs,
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=[
@@ -449,7 +470,7 @@ def bilstm_logits_pallas(
             ],
             cost_estimate=cost,
             interpret=interpret,
-        )(*common_args, wcat3_f, wcat3_b, tokw_f, tokw_b)
+        )(*common_args, wcat3_f, wcat3_b, tokw_f, tokw_b, hb0, cb0)
     else:
         wcat_f = _build_wcat(
             params.w_ih_f, params.w_hh_f, params.b_f, compute_dtype
@@ -475,7 +496,8 @@ def bilstm_logits_pallas(
                 pl.BlockSpec(
                     (GATES, KDIM), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
-            ],
+            ]
+            + bwd_specs,
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=[
@@ -486,7 +508,7 @@ def bilstm_logits_pallas(
             ],
             cost_estimate=cost,
             interpret=interpret,
-        )(*common_args, wcat_f, wcat_b)
+        )(*common_args, wcat_f, wcat_b, hb0, cb0)
 
     logits = (
         jnp.dot(

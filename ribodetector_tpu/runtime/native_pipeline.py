@@ -631,6 +631,53 @@ def records_from_chunk_bytes(data, offsets, n):
     return list(seq_parser(fh, "fastq"))
 
 
+class _BucketStager:
+    """Reusable staging buffers for one length bucket: acquire() pops a free
+    (tokens [rows, pl_b] uint8, lengths [rows] int32, rows_idx [cap] int32)
+    triple or allocates one; release() returns it once the batch's labels
+    were fetched. Lazy, so buckets that never see a read cost nothing."""
+
+    def __init__(self, rows, pl, cap):
+        self.rows, self.pl, self.cap = rows, pl, cap
+        self._free = []
+
+    def acquire(self):
+        if self._free:
+            return self._free.pop()
+        return (
+            np.full((self.rows, self.pl), _PAD_BYTE, np.uint8),
+            np.zeros(self.rows, np.int32),
+            np.zeros(self.cap, np.int32),
+        )
+
+    def release(self, bufs):
+        self._free.append(bufs)
+
+
+class _ChunkAcc:
+    """Per-logical-chunk accumulator for bucketed runs.
+
+    Bucket routing reorders device batches, so labels scatter back into a
+    chunk-ordered array and the chunk writes only when its last batch
+    finished; batches finish FIFO, so chunks complete (and write) in input
+    order and the output files stay byte-identical to the unbucketed path.
+    segs/segs2 remember which parse-window rows each aligned cursor take
+    covered, for the in-order byte-gather writes.
+    """
+
+    __slots__ = ("ci", "fhs", "labels", "n", "inflight", "closed", "segs", "segs2")
+
+    def __init__(self, ci, fhs, cap):
+        self.ci = ci
+        self.fhs = fhs
+        self.labels = np.empty(cap, np.int8)
+        self.n = 0
+        self.inflight = 0
+        self.closed = False
+        self.segs = []  # (data, offsets_rows_copy, recs, start, cnt, row0)
+        self.segs2 = []  # paired: same boundaries for the R2 side
+
+
 class NativeRunner:
     """Drives the native chunk streams through the Predictor's jitted
     classify step and byte-gather writers. Owns the reusable staging
@@ -987,6 +1034,216 @@ class NativeRunner:
         if "unclf" in fhs:
             counts["unclf"] += len(sel[-1])
 
+    # -- length-bucketed mode (BASELINE config 4) ----------------------
+    #
+    # Variable-length inputs route per read to the smallest padded-T bucket
+    # (runtime/buckets.py): the recurrence runs T_bucket steps instead of
+    # the full -l, with exact full-length dense semantics restored by the
+    # zero-prefix backward-carry init (pad_gap in Predictor._build_infer).
+    # Labels scatter back into chunk order (_ChunkAcc), so outputs are
+    # byte-identical to the unbucketed path.
+
+    def _bucket_infers(self, buckets):
+        p = self.p
+        emit = (
+            ("pair_labels", p.args.ensure) if p.is_paired else "labels"
+        )
+        infers = [
+            p._build_infer(packed_max_len=tb, emit=emit, pad_gap=p.len - tb)
+            for tb in buckets
+        ]
+        rows = 2 * self.dbs if p.is_paired else self.dbs
+        stagers = [
+            _BucketStager(rows, native.b5_packed_len(tb), self.dbs)
+            for tb in buckets
+        ]
+        return infers, stagers
+
+    def _device_call_with(self, infer, st, sl):
+        import jax
+
+        st_dev = jax.device_put(st, self.p.input_sharding)
+        if self._need_lengths:
+            return infer(st_dev, jax.device_put(sl, self.p.length_sharding))
+        return infer(st_dev)
+
+    def _dispatch_bucket(self, pending, infers, stagers, partial, b, acc):
+        tok, lens, idxs, fill = partial[b]
+        partial[b] = None
+        with self.p.timer.stage("infer_dispatch"):
+            fut = self._dispatcher.submit(
+                self._device_call_with, infers[b], tok, lens
+            )
+        acc.inflight += 1
+        pending.append((acc, (tok, lens, idxs), fill, fut, stagers[b]))
+        if len(pending) > self.DEPTH:
+            self._finish_bucketed(*pending.popleft())
+
+    def _finish_bucketed(self, acc, bufs, fill, fut, stager):
+        with self.p.timer.stage("infer_wait"):
+            labels = np.asarray(fut.result())[:fill]
+        tok, lens, idxs = bufs
+        acc.labels[idxs[:fill]] = labels
+        stager.release(bufs)
+        acc.inflight -= 1
+        if acc.closed and acc.inflight == 0:
+            self._write_chunk_bucketed(acc)
+
+    def _route_into(self, pending, infers, stagers, partial, acc, b_idx,
+                    toks, lens, toks2=None, lens2=None, row0=0):
+        """Copy routed rows into per-bucket partial batches; dispatch full
+        ones. b_idx holds each record's bucket index."""
+        bs = self.dbs
+        need_len = self._need_lengths
+        for b in range(len(stagers)):
+            sel = np.flatnonzero(b_idx == b)
+            if not len(sel):
+                continue
+            pl = stagers[b].pl
+            contiguous = len(sel) == len(b_idx)
+            off = 0
+            while off < len(sel):
+                if partial[b] is None:
+                    partial[b] = [*stagers[b].acquire(), 0]
+                tok, ln, idxs, fill = partial[b]
+                m = min(bs - fill, len(sel) - off)
+                s = slice(off, off + m) if contiguous else sel[off : off + m]
+                tok[fill : fill + m] = toks[s, :pl]
+                if toks2 is not None:
+                    tok[bs + fill : bs + fill + m] = toks2[s, :pl]
+                if need_len:
+                    ln[fill : fill + m] = lens[s]
+                    if lens2 is not None:
+                        ln[bs + fill : bs + fill + m] = lens2[s]
+                idxs[fill : fill + m] = (
+                    np.arange(off, off + m, dtype=np.int32) + row0
+                    if contiguous
+                    else sel[off : off + m].astype(np.int32) + row0
+                )
+                fill += m
+                partial[b][3] = fill
+                off += m
+                if fill == bs:
+                    self._dispatch_bucket(pending, infers, stagers, partial, b, acc)
+
+    def _flush_buckets(self, pending, infers, stagers, partial, acc):
+        for b in range(len(stagers)):
+            if partial[b] is not None and partial[b][3]:
+                self._dispatch_bucket(pending, infers, stagers, partial, b, acc)
+        acc.closed = True
+        if acc.inflight == 0 and acc.n:
+            self._write_chunk_bucketed(acc)
+
+    def _write_chunk_bucketed(self, acc):
+        counts, fhs = self._counts, acc.fhs
+        paired = self.p.is_paired
+        labels = acc.labels
+        seg_pairs = zip(acc.segs, acc.segs2) if paired else zip(acc.segs)
+        for segs in seg_pairs:
+            data0, bo0, recs0, start0, cnt, row0 = segs[0]
+            lab = labels[row0 : row0 + cnt]
+            sel = {v: np.flatnonzero(lab == v) for v in ((0, 1, -1) if paired else (0, 1))}
+            counts["norrna"] += len(sel[0])
+            counts["rrna"] += len(sel[1])
+            if paired and "unclf" in fhs:
+                counts["unclf"] += len(sel[-1])
+            for side, (data, bo, recs, start, _, _) in enumerate(segs):
+                if recs is None:
+                    w = lambda fh, s: self._write_sel(fh, data, bo, s)
+                else:
+                    w = lambda fh, s: self._write_text(fh, recs, s + start)
+                w(fhs["norrna"][side], sel[0])
+                if "rrna" in fhs:
+                    w(fhs["rrna"][side], sel[1])
+                if paired and "unclf" in fhs:
+                    w(fhs["unclf"][side], sel[-1])
+        acc.segs.clear()
+        acc.segs2.clear()
+        if self._parts_mode:
+            for group in fhs.values():
+                for fh in group:
+                    self._writer.close_fh(fh)
+
+    def run_bucketed(self, buckets):
+        """Single- and paired-end bucketed streaming (same loop: the paired
+        case routes by the pair's larger bucket so both mates share one
+        device call for on-device ensure reconciliation)."""
+        p = self.p
+        from ribodetector_tpu.runtime.buckets import route_records
+
+        paired = p.is_paired
+        self._counts = counts = {"norrna": 0, "rrna": 0, "unclf": 0}
+        num_read = 0
+        rpc = self._records_per_chunk()
+        streams = [
+            make_chunk_stream(f, p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH)
+            for f in p.input
+        ]
+        parts = DistributedParts(p) if getattr(p, "distributed", False) else None
+        self._parts_mode = parts is not None
+        fhs = None if parts else p._open_outputs(binary=True)
+        self._writer = _Writer(compress_threads=self._compress_threads())
+        timer = p.timer
+        curs = [
+            _RecordCursor(_Prefetcher(iter(s), depth=self.PREFETCH))
+            for s in streams
+        ]
+        infers, stagers = self._bucket_infers(buckets)
+        partial = [None] * len(buckets)
+        from collections import deque
+
+        pending = deque()
+        ci = 0
+        while True:
+            with timer.stage("parse"):
+                if not all(c.ready() for c in curs):
+                    break
+            if self._hosts > 1 and not host_chunk_assignment(
+                ci, self._hosts, self._host_id
+            ):
+                with timer.stage("parse"):
+                    for c in curs:
+                        c.skip(rpc)
+                ci += 1
+                continue
+            acc = _ChunkAcc(ci, parts.open_chunk(p, ci) if parts else fhs, rpc)
+            while acc.n < rpc:
+                with timer.stage("parse"):
+                    if not all(c.ready() for c in curs):
+                        break
+                cnt = min(rpc - acc.n, *(c.chunk_avail() for c in curs))
+                takes = [c.take(cnt) for c in curs]
+                row0 = acc.n
+                d, bo, toks, lens, recs, start = takes[0]
+                acc.segs.append((d, bo, recs, start, cnt, row0))
+                b_idx = route_records(lens, toks, buckets, p.len)
+                if paired:
+                    d2, bo2, toks2, lens2, recs2, start2 = takes[1]
+                    acc.segs2.append((d2, bo2, recs2, start2, cnt, row0))
+                    b_idx = np.maximum(
+                        b_idx, route_records(lens2, toks2, buckets, p.len)
+                    )
+                    self._route_into(
+                        pending, infers, stagers, partial, acc, b_idx,
+                        toks, lens, toks2, lens2, row0=row0,
+                    )
+                else:
+                    self._route_into(
+                        pending, infers, stagers, partial, acc, b_idx,
+                        toks, lens, row0=row0,
+                    )
+                acc.n += cnt
+            self._flush_buckets(pending, infers, stagers, partial, acc)
+            num_read += acc.n
+            ci += 1
+            self._log_progress(num_read)
+        while pending:
+            self._finish_bucketed(*pending.popleft())
+        self._writer.close()
+        if not parts:
+            p._close_outputs(fhs)
+        p._log_summary(num_read, counts)
+
     # ------------------------------------------------------------------
 
     def _log_progress(self, num_read):
@@ -1018,8 +1275,21 @@ class NativeRunner:
         return records_per_chunk(self.p)
 
     def run(self):
+        from ribodetector_tpu.runtime.buckets import choose_buckets
+
+        p = self.p
+        buckets = None
+        if not getattr(p.args, "resume", False):
+            # --resume keeps the per-chunk barrier semantics of the
+            # unbucketed path; everything else buckets by default
+            spec = getattr(p.args, "buckets", None) or p.config.get(
+                "runtime", {}
+            ).get("buckets", "auto")
+            buckets = choose_buckets(p.len, spec)
         try:
-            if self.p.is_paired:
+            if buckets:
+                self.run_bucketed(buckets)
+            elif p.is_paired:
                 self.run_paired()
             else:
                 self.run_single()

@@ -122,6 +122,22 @@ class Predictor:
         self.input_sharding = None
         self.length_sharding = None
         n_dev = len(jax.local_devices())
+        deviceid = getattr(self.args, "deviceid", None)
+        if deviceid is not None:
+            # -d parity (reference detect.py:90-91): verify the restriction
+            # actually took effect rather than silently using other chips
+            want = len([d for d in str(deviceid).split(",") if d != ""])
+            if self.device.platform in ("tpu", "axon"):
+                if n_dev != want:
+                    raise RuntimeError(
+                        f"--deviceid {deviceid} did not take effect: "
+                        f"{n_dev} local TPU device(s) visible, expected {want}"
+                    )
+            else:
+                self.logger.warning(
+                    "--deviceid has no effect on the %s backend",
+                    self.device.platform,
+                )
         if n_dev > 1 and (n_dev & (n_dev - 1)) == 0:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -130,6 +146,7 @@ class Predictor:
             self.mesh = make_data_mesh()
             self.input_sharding = NamedSharding(self.mesh, PartitionSpec("data", None))
             self.length_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+        self._maybe_parity_probe()
         self.logger.info(
             "Model using {} ({} device{}) for read length {}{}{}{} loaded".format(
                 self.device.platform,
@@ -143,7 +160,66 @@ class Predictor:
         )
         self._infer = self._build_infer()
 
-    def _build_infer(self, packed_max_len=None, emit="logits"):
+    def _maybe_parity_probe(self):
+        """Startup argmax-parity gate for the default 'high' precision mode.
+
+        bench.py has always gated its number this way; production CLI runs
+        previously shipped ungated, so a different chip, jax version, or
+        Mosaic lowering could flip argmax worse than the measured noise
+        class undetected. One [16384, len] random batch (random tokens put
+        far more mass near the decision boundary than real reads) compares
+        the x3 Pallas kernel against the fp32 scan reference; any flip on a
+        read with scan margin >= 5e-3, or more than max(2, 1e-4 B) flips
+        total, falls back to the bit-exact x6 ('exact') mode. Costs one
+        extra compile, amortized by the persistent compile cache; opt out
+        with runtime.parity_probe=false in the config."""
+        import jax
+
+        from ribodetector_tpu.ops.dispatch import _on_tpu
+
+        kernel = self.kernel
+        if kernel == "auto":
+            kernel = "pallas" if _on_tpu() else "scan"
+        if (
+            kernel != "pallas"
+            or self.precision_mode != "high"
+            or self.compute_dtype != "float32"
+            or self.config.get("runtime", {}).get("parity_probe", True) is False
+        ):
+            return
+        import numpy as np
+
+        from ribodetector_tpu.models.bilstm import bilstm_logits
+        from ribodetector_tpu.ops.lstm_pallas import bilstm_logits_pallas
+
+        B = 16384
+        rng = np.random.default_rng(0)
+        tokens = rng.integers(0, 5, (B, self.len)).astype(np.uint8)
+        lengths = np.full(B, self.len, np.int32)
+        sem = self.semantics
+        ref = np.asarray(
+            jax.jit(lambda t, l: bilstm_logits(self.params, t, l, semantics=sem))(
+                tokens, lengths
+            )
+        )
+        got = np.asarray(
+            bilstm_logits_pallas(
+                self.params, tokens, lengths, semantics=sem, matmul="x3"
+            )
+        )
+        flipped = got.argmax(1) != ref.argmax(1)
+        margin = np.abs(ref[:, 1] - ref[:, 0])
+        if flipped[margin >= 5e-3].any() or flipped.sum() > max(2, 1e-4 * B):
+            self.precision_mode = "exact"
+            self.logger.warning(
+                "Pallas 'high' precision failed the startup argmax-parity "
+                "probe on this backend (%d/%d flips); falling back to the "
+                "bit-exact 'exact' mode.",
+                int(flipped.sum()),
+                B,
+            )
+
+    def _build_infer(self, packed_max_len=None, emit="logits", pad_gap=0):
         """Jitted classify step.
 
         packed_max_len=None: infer(tokens [B,T] uint8, lengths) -- the
@@ -157,10 +233,17 @@ class Predictor:
         rows [0, B//2) and R2 in rows [B//2, B) -- ensure-mode reconciliation
         runs on device (runtime/ensure.py paired_final_labels_jnp) and the
         device->host result shrinks 32x.
+
+        pad_gap: length-bucketed batching (runtime/buckets.py). The step
+        runs the recurrence over only packed_max_len steps but reproduces
+        the full [B, len] dense semantics by starting the backward carry at
+        zero_prefix_state(params, pad_gap) -- exact for every read routed
+        to the bucket (models/bilstm.py zero_prefix_state docstring).
         """
         import jax
         import jax.numpy as jnp
 
+        from ribodetector_tpu.models.bilstm import zero_prefix_state
         from ribodetector_tpu.ops import classify_logits
         from ribodetector_tpu.ops.dispatch import unpack_b5_tokens
         from ribodetector_tpu.runtime.ensure import paired_final_labels_jnp
@@ -200,6 +283,18 @@ class Predictor:
         else:
             raise ValueError(f"unknown emit: {emit}")
 
+        bwd_init = None
+        if pad_gap and semantics == "dense":
+            init = zero_prefix_state(
+                self.params, pad_gap, compute_dtype=jnp.dtype(self.compute_dtype).type
+            )
+            if self.mesh is not None:
+                from ribodetector_tpu.parallel.mesh import replicated
+
+                bwd_init = jax.device_put(tuple(init), replicated(self.mesh))
+            else:
+                bwd_init = jax.device_put(tuple(init), self.device)
+
         def core(tokens, lengths):
             return classify_logits(
                 params,
@@ -210,6 +305,7 @@ class Predictor:
                 precision=precision,
                 kernel=kernel,
                 matmul=matmul,
+                bwd_init=bwd_init,
             )
 
         if self.mesh is not None:

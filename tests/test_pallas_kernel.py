@@ -74,6 +74,11 @@ def test_x3_split_matches_scan_argmax(params, batch):
         flipped = got.argmax(1) != ref.argmax(1)
         margin = np.abs(ref[:, 1] - ref[:, 0])
         assert not flipped[margin >= 5e-3].any()
+        # mirror the production parity gate's second clause (bench.py and
+        # the runtime probe): total flips bounded too, so a regression that
+        # flips many low-margin reads cannot pass this test while the
+        # bench gate would reject it
+        assert flipped.mean() <= 1e-4
 
 
 def test_bf16_mode_argmax_concordance(params, batch):
