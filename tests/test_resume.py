@@ -86,3 +86,52 @@ def test_resume_rejects_mismatched_config(tmp_path):
     )
     with pytest.raises(RuntimeError, match="different run configuration"):
         run(tmp_path, inp, tmp_path / "d.fq", tmp_path / "dr.fq", ["--resume"])
+
+
+def test_paired_resume_interruption_mixed_record_sizes(tmp_path, monkeypatch):
+    """Paired --resume restarts with a record-exact skip on BOTH sides:
+    the round-2 code skipped whole stream chunks per side, which desynced
+    pairs whenever the two files' byte-window chunking differed (mixed
+    record sizes force exactly that)."""
+    n = 1200
+    base = "ACGTTGCA" * 30
+    in1, in2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    with open(in1, "w") as f1, open(in2, "w") as f2:
+        for i in range(n):
+            s1 = base[: (30 if i < n // 2 else 180)]
+            s2 = base[5:45]
+            f1.write(f"@p{i}\n{s1}\n+\n{'I' * len(s1)}\n")
+            f2.write(f"@p{i}\n{s2}\n+\n{'I' * len(s2)}\n")
+
+    def prun(o1, o2, r1, r2, extra=()):
+        cli_main(
+            ["-l", "60", "-i", str(in1), str(in2), "-o", str(o1), str(o2),
+             "-r", str(r1), str(r2), "-e", "both", "-m", "4",
+             "--chunk_size", "1", *extra]
+        )
+
+    prun(tmp_path / "a1.fq", tmp_path / "a2.fq",
+         tmp_path / "ar1.fq", tmp_path / "ar2.fq")
+
+    from ribodetector_tpu.runtime.native_pipeline import ResumeState
+
+    orig = ResumeState.complete_chunk
+    calls = {"n": 0}
+
+    def crashing(self, p, ci, fhs, num_read, counts):
+        orig(self, p, ci, fhs, num_read, counts)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise KeyboardInterrupt("simulated crash")
+
+    monkeypatch.setattr(ResumeState, "complete_chunk", crashing)
+    with pytest.raises(KeyboardInterrupt):
+        prun(tmp_path / "b1.fq", tmp_path / "b2.fq",
+             tmp_path / "br1.fq", tmp_path / "br2.fq", ["--resume"])
+    monkeypatch.setattr(ResumeState, "complete_chunk", orig)
+    prun(tmp_path / "b1.fq", tmp_path / "b2.fq",
+         tmp_path / "br1.fq", tmp_path / "br2.fq", ["--resume"])
+
+    for a, b in (("a1.fq", "b1.fq"), ("a2.fq", "b2.fq"),
+                 ("ar1.fq", "br1.fq"), ("ar2.fq", "br2.fq")):
+        assert (tmp_path / a).read_bytes() == (tmp_path / b).read_bytes(), a
