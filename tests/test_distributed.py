@@ -20,8 +20,8 @@ from ribodetector_tpu.cli import main as cli_main
 from tests.test_cli_end2end import write_fastq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LEN = 50
-N = 3000
+LEN = 100  # buckets [64, 100]: the distributed runs exercise the bucketed
+N = 3000  # parts-mode write path (per-chunk parts closed writer-ordered)
 
 
 def _free_port():
@@ -33,9 +33,9 @@ def _free_port():
 
 
 def _mk_inputs(d):
-    base = "ACGTTGCA" * 10
-    seqs1 = [base[: 20 + (i * 7) % 30] for i in range(N)]
-    seqs2 = [base[3 : 23 + (i * 5) % 27] for i in range(N)]
+    base = "ACGTTGCA" * 14
+    seqs1 = [base[: 20 + (i * 7) % 80] for i in range(N)]
+    seqs2 = [base[3 : 23 + (i * 5) % 77] for i in range(N)]
     names = [f"d{i}" for i in range(N)]
     write_fastq(d / "r1.fq", names, seqs1)
     write_fastq(d / "r2.fq", names, seqs2)
