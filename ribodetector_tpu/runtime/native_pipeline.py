@@ -734,6 +734,7 @@ class NativeRunner:
         # all enqueued and its files can close (writer-ordered)
         self._parts_mode = False
         self._prev_fhs = None
+        self._bucket_dispatcher = None
 
     def _note_batch_fhs(self, fhs):
         if not self._parts_mode or fhs is self._prev_fhs:
@@ -1070,9 +1071,34 @@ class NativeRunner:
     def _dispatch_bucket(self, pending, infers, stagers, partial, b, acc):
         tok, lens, idxs, fill = partial[b]
         partial[b] = None
+        bs = self.dbs
+        # Partial batches (the per-chunk bucket flush) dispatch at the
+        # smallest power-of-two ladder size >= fill instead of the full
+        # device batch: a flush remnant pays <= 2x its own rows, not a full
+        # [dbs, T_b] compute + transfer (measured 5x e2e compute inflation
+        # without this when every chunk flushes 5 partial buckets). Each
+        # (bucket, size) shape jit-compiles once, shared persistent cache.
+        bsel = bs
+        for k in (4, 3, 2, 1):
+            cand = bs >> k
+            if cand >= 1024 and fill <= cand:
+                bsel = cand
+                break
+        paired = self.p.is_paired
+        if bsel < bs:
+            if paired:
+                # R2 rows move from the full-batch offset to the sliced one
+                # (regions never overlap: bsel + fill <= 2*bsel <= bs)
+                tok[bsel : bsel + fill] = tok[bs : bs + fill]
+                if self._need_lengths:
+                    lens[bsel : bsel + fill] = lens[bs : bs + fill]
+            st = tok[: 2 * bsel] if paired else tok[:bsel]
+            sl = lens[: 2 * bsel] if paired else lens[:bsel]
+        else:
+            st, sl = tok, lens
         with self.p.timer.stage("infer_dispatch"):
-            fut = self._dispatcher.submit(
-                self._device_call_with, infers[b], tok, lens
+            fut = self._bucket_dispatcher.submit(
+                self._device_call_with, infers[b], st, sl
             )
         acc.inflight += 1
         pending.append((acc, (tok, lens, idxs), fill, fut, stagers[b]))
@@ -1188,6 +1214,17 @@ class NativeRunner:
             _RecordCursor(_Prefetcher(iter(s), depth=self.PREFETCH))
             for s in streams
         ]
+        # Bucketed batches each own a pooled staging buffer (released only
+        # after their labels are fetched), so -- unlike the contiguous
+        # path, whose slot-reuse proof needs ordered single-threaded
+        # dispatch -- their H2D transfers can overlap: a pool of dispatcher
+        # threads hides the tunneled device link's large fixed per-call
+        # device_put latency, which otherwise serializes the ~5x more
+        # (smaller) calls bucketing makes per chunk. Labels scatter by
+        # index, so completion order is irrelevant.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._bucket_dispatcher = ThreadPoolExecutor(max_workers=4)
         infers, stagers = self._bucket_infers(buckets)
         partial = [None] * len(buckets)
         from collections import deque
@@ -1295,6 +1332,8 @@ class NativeRunner:
                 self.run_single()
         finally:
             self._dispatcher.shutdown(wait=False, cancel_futures=True)
+            if self._bucket_dispatcher is not None:
+                self._bucket_dispatcher.shutdown(wait=False, cancel_futures=True)
 
 
 class ResumeState:

@@ -189,17 +189,19 @@ class Predictor:
             return
         import numpy as np
 
-        from ribodetector_tpu.models.bilstm import bilstm_logits
         from ribodetector_tpu.ops.lstm_pallas import bilstm_logits_pallas
 
+        # reference arm = the x6 kernel: bit-identical activations to the
+        # fp32 lax.scan (ops/lstm_pallas.py "x6") at ~7x the speed, so the
+        # probe costs two small kernel calls instead of a scan compile+run
         B = 16384
         rng = np.random.default_rng(0)
         tokens = rng.integers(0, 5, (B, self.len)).astype(np.uint8)
         lengths = np.full(B, self.len, np.int32)
         sem = self.semantics
         ref = np.asarray(
-            jax.jit(lambda t, l: bilstm_logits(self.params, t, l, semantics=sem))(
-                tokens, lengths
+            bilstm_logits_pallas(
+                self.params, tokens, lengths, semantics=sem, matmul="x6"
             )
         )
         got = np.asarray(
