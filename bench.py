@@ -130,16 +130,37 @@ def measure_tpu():
         raise RuntimeError("packed-path argmax mismatch")
 
     np.asarray(infer(jax.device_put(ptoks[0])))  # warm
+    # production pipeline shape: TWO feeder threads each device_put +
+    # dispatch their own batches (runtime/native_pipeline.py dispatcher
+    # pool) -- a single issuing thread serializes the tunneled link's
+    # fixed per-call transfer latency; two measurably reach the
+    # device-resident floor (experiments/kbench7.py), 8 batches in flight.
+    import queue
+    import threading
+
     N = 16
-    DEPTH = 8  # in-flight batches, matching runtime/native_pipeline.py
-    t0 = time.time()
-    pending = []
+    DEPTH = 8
+    idxq = queue.Queue()
     for i in range(N):
-        pending.append(infer(jax.device_put(ptoks[i % len(ptoks)])))
-        if len(pending) > DEPTH:
-            np.asarray(pending.pop(0))
-    for out in pending:
-        np.asarray(out)
+        idxq.put(i)
+    outq = queue.Queue(maxsize=DEPTH)
+
+    def feed():
+        while True:
+            try:
+                i = idxq.get_nowait()
+            except queue.Empty:
+                return
+            outq.put(infer(jax.device_put(ptoks[i % len(ptoks)])))
+
+    t0 = time.time()
+    threads = [threading.Thread(target=feed) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for _ in range(N):
+        np.asarray(outq.get())
+    for th in threads:
+        th.join()
     dt = (time.time() - t0) / N
     return B / dt
 

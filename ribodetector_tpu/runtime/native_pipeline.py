@@ -708,23 +708,26 @@ class NativeRunner:
         )
         self._infer = predictor._build_infer(packed_max_len=predictor.len, emit=emit)
         self._need_lengths = predictor.semantics == "packed"
-        # DEPTH batches stay in flight on the device; staging buffers rotate
-        # through a DEPTH+1 pool so a buffer is rewritten only after its
-        # batch's labels were fetched (which orders after its H2D transfer)
-        self._staging = [
-            np.full((rows, pl), _PAD_BYTE, np.uint8) for _ in range(self.DEPTH + 1)
-        ]
-        self._stage_len = [np.zeros(rows, np.int32) for _ in range(self.DEPTH + 1)]
-        self._slot = 0
+        # Staging buffers: a lazy pool of per-batch (tokens, lengths)
+        # buffers, acquired at encode time and released only after the
+        # batch's LABELS were fetched (never right after device_put -- the
+        # CPU backend can alias a numpy buffer zero-copy, so recycling on
+        # transfer completion would corrupt an in-flight batch there).
+        # Pool size is bounded by the in-flight depth (DEPTH + 2).
+        self._stage_shape = (rows, pl)
+        self._stage_pool = []
         self._writer = None
-        # single dispatcher thread: jax.device_put over a tunneled/remote
-        # device link blocks for the whole host-side transfer, so the
-        # transfer + jit-call dispatch runs off the main loop; one worker
-        # keeps calls ordered, which is what the staging-slot reuse proof
-        # above relies on
+        # TWO dispatcher threads: jax.device_put over a tunneled/remote
+        # device link blocks for the whole host-side transfer, and a single
+        # issuing thread serializes that fixed per-call latency with the
+        # jit dispatch. With per-batch pooled buffers there is no ordering
+        # requirement left (labels are matched to batches by future, not
+        # arrival), and two concurrent feeders measurably reach the
+        # device-resident floor (experiments/kbench7.py: 81.8 -> 62.0
+        # ms/batch; more than two contend and regress).
         from concurrent.futures import ThreadPoolExecutor
 
-        self._dispatcher = ThreadPoolExecutor(max_workers=1)
+        self._dispatcher = ThreadPoolExecutor(max_workers=2)
         import time
 
         self._last_log = time.monotonic()
@@ -754,14 +757,20 @@ class NativeRunner:
 
     # -- batching ------------------------------------------------------
 
+    def _acquire_stage(self):
+        if self._stage_pool:
+            return self._stage_pool.pop()
+        rows, pl = self._stage_shape
+        return (np.full((rows, pl), _PAD_BYTE, np.uint8), np.zeros(rows, np.int32))
+
     def _infer_tokens(self, tok1, len1, tok2=None, len2=None):
-        """Copy packed-token views into the staging buffer and hand the
-        batch to the dispatcher thread (H2D transfer + jitted classify);
-        returns a future resolving to the device labels array."""
+        """Copy packed-token views into a pooled staging buffer and hand the
+        batch to a dispatcher thread (H2D transfer + jitted classify);
+        returns (labels_future, staging_bufs) -- the caller releases the
+        buffers after fetching the labels."""
         nb = len(tok1)
         bs = self.dbs
-        self._slot = (self._slot + 1) % len(self._staging)
-        st, sl = self._staging[self._slot], self._stage_len[self._slot]
+        st, sl = self._acquire_stage()
         st[:nb] = tok1
         if tok2 is not None:
             # R2 always at the fixed offset bs so pair i aligns with row
@@ -782,7 +791,7 @@ class NativeRunner:
                     sl[bs + nb :] = 0
             else:
                 sl[nb:] = 0
-        return self._dispatcher.submit(self._device_call, st, sl)
+        return self._dispatcher.submit(self._device_call, st, sl), (st, sl)
 
     def _device_call(self, st, sl):
         """Dispatcher-thread body: H2D transfer + classify call. device_put
@@ -897,8 +906,10 @@ class NativeRunner:
 
     def _finish_single(self, counts, fhs, data, boffsets, chunk_records, start, nb, labels_fut):
         self._note_batch_fhs(fhs)
+        fut, stage_bufs = labels_fut
         with self.p.timer.stage("infer_wait"):
-            labels = np.asarray(labels_fut.result())[:nb]
+            labels = np.asarray(fut.result())[:nb]
+        self._stage_pool.append(stage_bufs)
         sel0 = np.flatnonzero(labels == 0)
         sel1 = np.flatnonzero(labels == 1)
         counts["norrna"] += len(sel0)
@@ -1012,10 +1023,12 @@ class NativeRunner:
     ):
         p = self.p
         self._note_batch_fhs(fhs)
+        fut, stage_bufs = labels_fut
         with p.timer.stage("infer_wait"):
             # final pair labels, reconciled on device (ensure truth table in
             # runtime/ensure.py paired_final_labels_jnp)
-            labels = np.asarray(labels_fut.result())[:nb]
+            labels = np.asarray(fut.result())[:nb]
+        self._stage_pool.append(stage_bufs)
         sel = {lab: np.flatnonzero(labels == lab) for lab in (0, 1, -1)}
         counts["norrna"] += len(sel[0])
         counts["rrna"] += len(sel[1])
