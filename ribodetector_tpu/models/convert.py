@@ -157,13 +157,18 @@ def export_onnx(npz_path: str, onnx_path: str, read_len: int = 100) -> None:
 
     @contextlib.contextmanager
     def _onnxscript_pass_optional():
+        # only the import probe may be caught: an ImportError raised inside
+        # the export itself must propagate (wrapping the yield would make
+        # the generator yield twice and mask it with a RuntimeError)
         try:
             import onnx  # noqa: F401
 
+            have_onnx = True
+        except ImportError:
+            have_onnx = False
+        if have_onnx:
             yield  # real pass available
             return
-        except ImportError:
-            pass
         from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
 
         orig = onnx_proto_utils._add_onnxscript_fn

@@ -14,7 +14,14 @@ cache) and zero semantic drift:
 - dense semantics: exact via the zero-prefix backward-carry init
   (models/bilstm.py zero_prefix_state): zero-input steps depend only on
   their count, so T_bucket + precomputed state after (max_len - T_bucket)
-  zero steps == the full max_len recurrence, bit-for-bit per kernel.
+  zero steps == the full max_len recurrence. Bit-for-bit under exact fp32
+  arithmetic (the scan kernel and the Pallas "exact"/x6 mode, pinned by
+  tests). Under the default "high"/x3 mode the init is computed in exact
+  fp32 while an UNBUCKETED x3 run computes those same prefix steps in
+  split arithmetic, so bucketed-x3 and unbucketed-x3 can differ in the
+  last ulps -- the bucketed run is the one closer to the fp32 reference,
+  and any argmax difference sits in the same borderline-margin noise class
+  the x3 parity gate already governs (ops/lstm_pallas.py "x3").
 - all-zero reads (no A/C/G/T/U base at all) gather at T-1 by the reference's
   argmax-of-zeros quirk, which IS bucket-dependent -- the router pins them
   to the full bucket. They are detected for free: an all-zero read's base-5

@@ -397,6 +397,8 @@ class _RecordCursor:
         self._pos = 0
         self.eof = False
 
+    _RECS_UNSET = object()
+
     def ready(self):
         """Ensure a non-exhausted current chunk; False at end of stream."""
         while not self.eof and (self._c is None or self._pos >= self._c[4]):
@@ -405,12 +407,11 @@ class _RecordCursor:
                 self._c, self.eof = None, True
                 return False
             data, offsets, ptokens, lengths, clean, n = chunk
-            recs = (
-                None
-                if clean[:n].all()
-                else records_from_chunk_bytes(data, offsets, n)
-            )
-            self._c = (data, offsets, ptokens, lengths, n, recs)
+            # dirty-record text is materialized lazily at first take():
+            # skip() drives ready() over every chunk too (--hosts round
+            # robin, --resume restart), and re-parsing windows the host
+            # never processes would waste (N-1)/N of the dirty-parse cost
+            self._c = [data, offsets, ptokens, lengths, n, clean, self._RECS_UNSET]
             self._pos = 0
         return not self.eof
 
@@ -424,7 +425,14 @@ class _RecordCursor:
         offsets rows are copied because the stream's slot arrays rotate
         while the batch is in flight; token/length views are copied into
         the staging buffers synchronously by the caller."""
-        data, offsets, ptokens, lengths, _, recs = self._c
+        data, offsets, ptokens, lengths, n, clean, recs = self._c
+        if recs is self._RECS_UNSET:
+            recs = (
+                None
+                if clean[:n].all()
+                else records_from_chunk_bytes(data, offsets, n)
+            )
+            self._c[6] = recs
         s = self._pos
         self._pos = s + k
         return (
@@ -655,17 +663,36 @@ class _BucketStager:
 
 
 class _ChunkAcc:
-    """Per-logical-chunk accumulator for bucketed runs.
+    """Write accumulator for bucketed runs (normally one per logical chunk).
 
-    Bucket routing reorders device batches, so labels scatter back into a
-    chunk-ordered array and the chunk writes only when its last batch
-    finished; batches finish FIFO, so chunks complete (and write) in input
-    order and the output files stay byte-identical to the unbucketed path.
-    segs/segs2 remember which parse-window rows each aligned cursor take
-    covered, for the in-order byte-gather writes.
+    Bucket routing reorders device batches, so labels scatter back into an
+    accumulator-ordered array and the accumulator writes only when its last
+    batch finished; batches finish FIFO, so accumulators complete (and
+    write) in input order and the output files keep the unbucketed path's
+    record order. segs/segs2 remember which parse-window rows each aligned
+    cursor take covered, for the in-order byte-gather writes.
+
+    Window-span bound: the byte-gather sources stay pinned until the
+    accumulator writes, but the chunk streams recycle their window slots
+    unconditionally (slot-pool sizing in FastqChunkStream). Records much
+    larger than the sizing estimate make accumulators span many windows,
+    and several unwritten accumulators can be alive at once (their batches
+    queue up to DEPTH deep) -- so the runner enforces a GLOBAL per-side
+    budget of pinned windows (_BucketRunnerState in run_bucketed): before
+    consuming a new window it drains finished batches until older
+    accumulators have written and unpinned, and it splits the current
+    accumulator (same chunk, same file handles) when that accumulator
+    alone would span too many windows. close_fhs marks the chunk's final
+    accumulator (parts mode closes the chunk's part files after it
+    writes).
     """
 
-    __slots__ = ("ci", "fhs", "labels", "n", "inflight", "closed", "segs", "segs2")
+    MAX_WINDOWS = 3  # per side, per accumulator
+
+    __slots__ = (
+        "ci", "fhs", "labels", "n", "inflight", "closed", "segs", "segs2",
+        "close_fhs", "winids",
+    )
 
     def __init__(self, ci, fhs, cap):
         self.ci = ci
@@ -676,6 +703,16 @@ class _ChunkAcc:
         self.closed = False
         self.segs = []  # (data, offsets_rows_copy, recs, start, cnt, row0)
         self.segs2 = []  # paired: same boundaries for the R2 side
+        self.close_fhs = True
+        self.winids = (set(), set())  # per-side window ids this acc pins
+
+    def would_overflow(self, new_ids):
+        """True when noting these per-side window ids would exceed this
+        accumulator's own per-side span bound."""
+        return any(
+            len(self.winids[s] | {wid}) > self.MAX_WINDOWS
+            for s, wid in enumerate(new_ids)
+        )
 
 
 class NativeRunner:
@@ -1057,6 +1094,40 @@ class NativeRunner:
     # Labels scatter back into chunk order (_ChunkAcc), so outputs are
     # byte-identical to the unbucketed path.
 
+    # window pinning (bucketed mode): a parse window must not be recycled
+    # by its stream while an unwritten accumulator still references it for
+    # the deferred byte-gather write. Budget per side = the slot pool minus
+    # the 3 slots the stream itself cycles (1 being parsed + prefetch
+    # queue + slack), i.e. DEPTH + PREFETCH.
+
+    WINDOW_BUDGET = property(lambda self: self.DEPTH + self.PREFETCH)
+
+    def _pin_overflow(self, acc, new_ids):
+        """Would consuming these windows exceed the per-side pinned-window
+        budget across all unwritten accumulators?"""
+        del acc  # membership is already reflected in the refcounts
+        return any(
+            len(self._pinned[s]) + (0 if wid in self._pinned[s] else 1)
+            > self.WINDOW_BUDGET
+            for s, wid in enumerate(new_ids)
+        )
+
+    def _pin_windows(self, acc, takes):
+        for s, t in enumerate(takes):
+            wid = id(t[0])
+            if wid not in acc.winids[s]:
+                acc.winids[s].add(wid)
+                self._pinned[s][wid] += 1
+
+    def _unpin_windows(self, acc):
+        for s, ids in enumerate(acc.winids):
+            c = self._pinned[s]
+            for wid in ids:
+                c[wid] -= 1
+                if c[wid] <= 0:
+                    del c[wid]
+            ids.clear()
+
     def _bucket_infers(self, buckets):
         p = self.p
         emit = (
@@ -1198,7 +1269,8 @@ class NativeRunner:
                     w(fhs["unclf"][side], sel[-1])
         acc.segs.clear()
         acc.segs2.clear()
-        if self._parts_mode:
+        self._unpin_windows(acc)
+        if self._parts_mode and acc.close_fhs:
             for group in fhs.values():
                 for fh in group:
                     self._writer.close_fh(fh)
@@ -1238,6 +1310,9 @@ class NativeRunner:
         from concurrent.futures import ThreadPoolExecutor
 
         self._bucket_dispatcher = ThreadPoolExecutor(max_workers=4)
+        from collections import Counter
+
+        self._pinned = (Counter(), Counter())
         infers, stagers = self._bucket_infers(buckets)
         partial = [None] * len(buckets)
         from collections import deque
@@ -1256,13 +1331,28 @@ class NativeRunner:
                         c.skip(rpc)
                 ci += 1
                 continue
-            acc = _ChunkAcc(ci, parts.open_chunk(p, ci) if parts else fhs, rpc)
-            while acc.n < rpc:
+            chunk_fhs = parts.open_chunk(p, ci) if parts else fhs
+            acc = _ChunkAcc(ci, chunk_fhs, rpc)
+            done = 0
+            while done < rpc:
                 with timer.stage("parse"):
                     if not all(c.ready() for c in curs):
                         break
-                cnt = min(rpc - acc.n, *(c.chunk_avail() for c in curs))
+                cnt = min(rpc - done, *(c.chunk_avail() for c in curs))
                 takes = [c.take(cnt) for c in curs]
+                new_ids = [id(t[0]) for t in takes]
+                if acc.segs and acc.would_overflow(new_ids):
+                    # per-acc window-span bound (see _ChunkAcc): split the
+                    # write accumulator mid-chunk
+                    acc.close_fhs = False
+                    self._flush_buckets(pending, infers, stagers, partial, acc)
+                    acc = _ChunkAcc(ci, chunk_fhs, rpc)
+                # global budget: drain finished batches until the pinned
+                # window count (all unwritten accs) fits the stream slot
+                # pools -- older accs write FIFO and unpin as we drain
+                while pending and self._pin_overflow(acc, new_ids):
+                    self._finish_bucketed(*pending.popleft())
+                self._pin_windows(acc, takes)
                 row0 = acc.n
                 d, bo, toks, lens, recs, start = takes[0]
                 acc.segs.append((d, bo, recs, start, cnt, row0))
@@ -1283,8 +1373,9 @@ class NativeRunner:
                         toks, lens, row0=row0,
                     )
                 acc.n += cnt
+                done += cnt
             self._flush_buckets(pending, infers, stagers, partial, acc)
-            num_read += acc.n
+            num_read += done
             ci += 1
             self._log_progress(num_read)
         while pending:

@@ -125,9 +125,12 @@ class Predictor:
         deviceid = getattr(self.args, "deviceid", None)
         if deviceid is not None:
             # -d parity (reference detect.py:90-91): verify the restriction
-            # actually took effect rather than silently using other chips
+            # actually took effect rather than silently using other chips.
+            # TPU detection matches ops/dispatch._on_tpu (platform string OR
+            # device kind), so proxy platforms can't skip the check.
+            kind = (getattr(self.device, "device_kind", "") or "").lower()
             want = len([d for d in str(deviceid).split(",") if d != ""])
-            if self.device.platform in ("tpu", "axon"):
+            if self.device.platform in ("tpu", "axon") or "tpu" in kind:
                 if n_dev != want:
                     raise RuntimeError(
                         f"--deviceid {deviceid} did not take effect: "

@@ -95,3 +95,28 @@ def test_two_process_distributed_merge(tmp_path):
     err0 = outs[0][1]
     assert "Merged outputs from 2 hosts" in err0
     assert f"Processed" in err0
+
+
+def test_resume_rejected_with_coordinator(tmp_path):
+    """--resume with a coordinated multi-host run would share one manifest
+    and parts layout across hosts; detect() must reject it up front (the
+    hosts>1 guard covers --coordinator, which sets hosts)."""
+    from types import SimpleNamespace
+
+    from ribodetector_tpu.config import ConfigParser, DEFAULT_CONFIG
+    from ribodetector_tpu.runtime import Predictor
+
+    _mk_inputs(tmp_path)
+    args = SimpleNamespace(
+        len=LEN, input=[str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")],
+        output=[str(tmp_path / "o1.fq"), str(tmp_path / "o2.fq")],
+        rrna=None, ensure="none", threads=1, memory=4, chunk_size=1,
+        log=None, profile=False, trace_dir=None, resume=True,
+        semantics=None, kernel="scan", precision=None, buckets=None,
+        hosts=2, host_id=0, coordinator="127.0.0.1:1", num_hosts=2,
+        deviceid=None, config=None,
+    )
+    p = Predictor(ConfigParser.from_json(DEFAULT_CONFIG), args)
+    p.load_model()
+    with pytest.raises(RuntimeError, match="--resume cannot be combined"):
+        p.detect()
