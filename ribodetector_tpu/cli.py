@@ -155,5 +155,16 @@ def main(argv=None):
     seq_pred.detect()
 
 
+def main_cpu(argv=None):
+    """`ribodetector_cpu` parity entry point (reference:
+    detect_cpu.py:776-825): the same single engine pinned to the host CPU
+    backend. The reference needed a whole second runtime for CPUs; here
+    only the platform changes -- dense/ONNX semantics are already the
+    default, outputs stay deterministic (the reference CPU path is
+    completion-order nondeterministic, SURVEY.md 5)."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    main(argv)
+
+
 if __name__ == "__main__":
     main()

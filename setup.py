@@ -11,6 +11,10 @@ setup(
     extras_require={"convert": ["torch"], "train": ["optax"]},
     entry_points={
         "console_scripts": [
+            # reference command names (reference: setup.py:42-45) plus the
+            # native name; one engine backs all three
+            "ribodetector=ribodetector_tpu.cli:main",
+            "ribodetector_cpu=ribodetector_tpu.cli:main_cpu",
             "ribodetector_tpu=ribodetector_tpu.cli:main",
         ]
     },

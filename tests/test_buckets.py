@@ -174,3 +174,36 @@ def test_bucketed_paired_ensure_both(tmp_path, rng, torch_reference):
         assert read_headers(out) == [f"@{n}" for n, l in zip(names, want) if l == 0]
         assert read_headers(rr) == [f"@{n}" for n, l in zip(names, want) if l == 1]
         assert read_headers(unclf) == [f"@{n}" for n, l in zip(names, want) if l == -1]
+
+
+def test_bucketed_dirty_crlf_records(tmp_path, rng, torch_reference):
+    """CRLF FASTQ records take the text-fallback write path (the native
+    parser flags them dirty); bucketed mode must route/scatter them the
+    same and re-emit reference-exact rstripped text."""
+    dense_logits, _ = torch_reference
+    n = 300
+    seqs = [
+        "".join(rng.choice(list("ACGT"), int(rng.integers(15, LEN + 1))))
+        for _ in range(n)
+    ]
+    names = [f"w{i}" for i in range(n)]
+    inp = tmp_path / "crlf.fq"
+    with open(inp, "wb") as fh:
+        for nm, s in zip(names, seqs):
+            fh.write(f"@{nm}\r\n{s}\r\n+\r\n{'I' * len(s)}\r\n".encode())
+
+    tokens, _ = encode_batch(seqs, LEN)
+    labels = dense_logits(tokens_to_onehot_np(tokens)).argmax(1)
+
+    out, rrna = tmp_path / "o.fq", tmp_path / "r.fq"
+    cli_main(
+        ["-l", str(LEN), "-i", str(inp), "-o", str(out), "-r", str(rrna),
+         "-m", "3", "--chunk_size", "1", "--kernel", "scan",
+         "--buckets", "auto"],
+    )
+    from tests.test_cli_end2end import read_headers
+
+    assert read_headers(out) == [f"@{n}" for n, l in zip(names, labels) if l == 0]
+    assert read_headers(rrna) == [f"@{n}" for n, l in zip(names, labels) if l == 1]
+    # reference text semantics: lines rstripped (no \r in output)
+    assert b"\r" not in out.read_bytes() + rrna.read_bytes()
