@@ -1,0 +1,128 @@
+"""Training CLI: (re)train the BiLSTM read classifier from labeled files.
+
+The reference ships no train.py at all -- its checkpoint metadata merely
+records that one existed (train/val data paths + metrics embedded in the
+.pth, SURVEY.md 6: 600k reads, mrna/rrna FASTA pairs, batch 200). This CLI
+supplies that missing surface: rRNA reads (label 1) and non-rRNA reads
+(label 0) come from separate FASTA/FASTQ files (plain or gz), encoding and
+train/eval steps run on whatever devices JAX sees (multi-chip: batch over a
+dp mesh, gate dimension over tp), and checkpoints are native .npz artifacts
+that load straight into the inference engine (--rrna-weights/config
+state_file) or export to the reference's torch layout via models/convert.
+
+  python -m ribodetector_tpu.train --rrna rrna.fa --norrna mrna.fa \\
+      -l 100 --epochs 5 --batch 200 --out ckpts/
+"""
+
+import argparse
+
+import numpy as np
+
+
+def build_arg_parser():
+    ap = argparse.ArgumentParser(
+        prog="ribodetector_tpu.train",
+        description="Train the rRNA/non-rRNA BiLSTM classifier",
+    )
+    ap.add_argument("--rrna", required=True,
+                    help="FASTA/FASTQ(.gz) of rRNA reads (label 1)")
+    ap.add_argument("--norrna", required=True,
+                    help="FASTA/FASTQ(.gz) of non-rRNA reads (label 0)")
+    ap.add_argument("--val-rrna", default=None)
+    ap.add_argument("--val-norrna", default=None)
+    ap.add_argument("-l", "--len", type=int, default=100,
+                    help="max read length (truncate/pad policy of the engine)")
+    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=200,
+                    help="train batch size (reference checkpoint used 200)")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--semantics", choices=["dense", "packed"], default="dense")
+    ap.add_argument("--init", default=None,
+                    help=".npz to fine-tune from (default: random init)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", required=True,
+                    help="checkpoint directory (per-epoch .npz + best.npz)")
+    ap.add_argument("--monitor", default="mcc",
+                    help="eval metric tracked by best.npz (default: mcc)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel width over the gate dimension")
+    return ap
+
+
+def _load_labeled(rrna_path, norrna_path, max_len, seed):
+    from ribodetector_tpu.encode import encode_batch
+    from ribodetector_tpu.io import load_reads
+
+    seqs, labels = [], []
+    for path, label in ((norrna_path, 0), (rrna_path, 1)):
+        reads = load_reads(path)
+        seqs.extend(r[1] for r in reads)
+        labels.extend([label] * len(reads))
+    tokens, lengths = encode_batch(seqs, max_len)
+    labels = np.asarray(labels, np.int32)
+    perm = np.random.default_rng(seed).permutation(len(labels))
+    return tokens[perm], lengths[perm], labels[perm]
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+    import jax
+
+    from ribodetector_tpu.models.bilstm import init_params, load_params
+    from ribodetector_tpu.train import TrainConfig, fit
+
+    data = _load_labeled(args.rrna, args.norrna, args.len, args.seed)
+    print(f"loaded {len(data[2])} training reads "
+          f"({int(data[2].sum())} rRNA / {int((data[2] == 0).sum())} non-rRNA)")
+    eval_data = None
+    if args.val_rrna and args.val_norrna:
+        eval_data = _load_labeled(args.val_rrna, args.val_norrna, args.len, args.seed)
+        print(f"loaded {len(eval_data[2])} validation reads")
+
+    if args.init:
+        params = load_params(args.init)
+        print(f"fine-tuning from {args.init}")
+    else:
+        params = init_params(jax.random.PRNGKey(args.seed))
+
+    mesh = None
+    n_dev = len(jax.local_devices())
+    if n_dev > 1:
+        from ribodetector_tpu.parallel.mesh import make_dp_tp_mesh
+
+        mesh = make_dp_tp_mesh(tp=args.tp)
+        print(f"training on {n_dev} devices, mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    cfg = TrainConfig(
+        learning_rate=args.lr,
+        weight_decay=args.weight_decay,
+        semantics=args.semantics,
+    )
+    fit(
+        params,
+        data,
+        cfg,
+        epochs=args.epochs,
+        batch_size=args.batch,
+        mesh=mesh,
+        eval_data=eval_data,
+        checkpoint_dir=args.out,
+        monitor=args.monitor,
+    )
+    print(f"checkpoints in {args.out} (best.npz tracks eval {args.monitor}); "
+          "use with the engine via --config state_file, or export to torch: "
+          "python -m ribodetector_tpu.models.convert best.npz best.pth")
+
+
+if __name__ == "__main__":
+    main()

@@ -140,3 +140,67 @@ def test_export_checkpoint_roundtrip(tmp_path, ref_params_path, torch_reference)
         got = head(r_out[torch.arange(8), g, :]).numpy()
     want = dense_logits(x)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_train_cli_end_to_end(tmp_path):
+    """The training CLI learns a motif from labeled FASTA files and writes
+    loadable checkpoints whose best.npz beats chance on held-out reads."""
+    import numpy as np
+
+    from ribodetector_tpu.train import synthetic_dataset
+    from ribodetector_tpu.train.__main__ import main as train_main
+
+    rng = np.random.default_rng(5)
+    # synthetic_dataset gives tokens; for the CLI we need FASTA text, so
+    # plant the motif in sequences directly
+    motif = "GGAACCTTGGAACC"
+    bases = np.array(list("ACGT"))
+
+    def mkfile(path, n, with_motif):
+        with open(path, "w") as fh:
+            for i in range(n):
+                L = int(rng.integers(20, 33))
+                s = "".join(rng.choice(bases, size=L))
+                if with_motif:
+                    pos = int(rng.integers(0, L - len(motif)))
+                    s = s[:pos] + motif + s[pos + len(motif):]
+                fh.write(f">s{i}\n{s}\n")
+
+    mkfile(tmp_path / "rrna.fa", 300, True)
+    mkfile(tmp_path / "norrna.fa", 300, False)
+    mkfile(tmp_path / "val_rrna.fa", 60, True)
+    mkfile(tmp_path / "val_norrna.fa", 60, False)
+
+    out = tmp_path / "ckpt"
+    train_main([
+        "--rrna", str(tmp_path / "rrna.fa"),
+        "--norrna", str(tmp_path / "norrna.fa"),
+        "--val-rrna", str(tmp_path / "val_rrna.fa"),
+        "--val-norrna", str(tmp_path / "val_norrna.fa"),
+        "-l", "32", "--epochs", "8", "--batch", "64", "--lr", "1e-2",
+        "--out", str(out),
+    ])
+    assert (out / "best.npz").exists()
+
+    # the checkpoint loads into the engine's forward and beats chance
+    import jax
+
+    from ribodetector_tpu.encode import encode_batch
+    from ribodetector_tpu.models.bilstm import bilstm_logits, load_params
+
+    params = load_params(str(out / "best.npz"))
+    seqs, labels = [], []
+    for i in range(100):
+        L = int(rng.integers(20, 33))
+        s = "".join(rng.choice(bases, size=L))
+        y = i % 2
+        if y:
+            pos = int(rng.integers(0, L - len(motif)))
+            s = s[:pos] + motif + s[pos + len(motif):]
+        seqs.append(s)
+        labels.append(y)
+    tokens, _ = encode_batch(seqs, 32)
+    pred = np.asarray(
+        jax.jit(lambda t: bilstm_logits(params, t, semantics="dense"))(tokens)
+    ).argmax(1)
+    assert (pred == np.asarray(labels)).mean() > 0.8
