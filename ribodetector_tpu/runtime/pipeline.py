@@ -194,6 +194,33 @@ class Predictor:
 
         from ribodetector_tpu.ops.lstm_pallas import bilstm_logits_pallas
 
+        # the verdict is a property of (jax version, chip kind, len,
+        # semantics) -- cache a pass marker next to the compile cache so
+        # repeat runs skip the probe entirely
+        marker = None
+        try:
+            import hashlib
+
+            cache_dir = os.environ.get(
+                "RIBODETECTOR_TPU_CACHE",
+                os.path.join(os.path.expanduser("~"), ".cache", "ribodetector_tpu"),
+            )
+            key = hashlib.sha1(
+                "|".join(
+                    [
+                        jax.__version__,
+                        getattr(jax.local_devices()[0], "device_kind", "?"),
+                        str(self.len),
+                        self.semantics,
+                    ]
+                ).encode()
+            ).hexdigest()[:16]
+            marker = os.path.join(cache_dir, f"parity_ok_{key}")
+            if os.path.exists(marker):
+                return
+        except Exception:  # pragma: no cover - marker is best-effort
+            marker = None
+
         # reference arm = the x6 kernel: bit-identical activations to the
         # fp32 lax.scan (ops/lstm_pallas.py "x6") at ~7x the speed, so the
         # probe costs two small kernel calls instead of a scan compile+run
@@ -223,6 +250,13 @@ class Predictor:
                 int(flipped.sum()),
                 B,
             )
+        elif marker is not None:
+            try:
+                os.makedirs(os.path.dirname(marker), exist_ok=True)
+                with open(marker, "w") as fh:
+                    fh.write("pass\n")
+            except OSError:  # pragma: no cover
+                pass
 
     def _build_infer(self, packed_max_len=None, emit="logits", pad_gap=0):
         """Jitted classify step.
