@@ -135,3 +135,19 @@ def test_paired_resume_interruption_mixed_record_sizes(tmp_path, monkeypatch):
     for a, b in (("a1.fq", "b1.fq"), ("a2.fq", "b2.fq"),
                  ("ar1.fq", "br1.fq"), ("ar2.fq", "br2.fq")):
         assert (tmp_path / a).read_bytes() == (tmp_path / b).read_bytes(), a
+
+
+def test_resume_falls_back_to_unbucketed_with_identical_output(tmp_path):
+    """--resume keeps the unbucketed per-chunk-barrier path; at -l 100 the
+    default run buckets ([64,100]). Under exact fp32 (scan kernel) the two
+    modes are byte-identical, so a resume run must reproduce a plain
+    (bucketed) run's outputs exactly."""
+    inp = tmp_path / "in.fq"
+    write_fastq(inp, 900, seed=3)
+    base = ["-l", "100", "-i", str(inp), "-m", "3", "--chunk_size", "1",
+            "--kernel", "scan"]
+    cli_main(base + ["-o", str(tmp_path / "a.fq"), "-r", str(tmp_path / "ar.fq")])
+    cli_main(base + ["-o", str(tmp_path / "b.fq"), "-r", str(tmp_path / "br.fq"),
+                     "--resume"])
+    assert (tmp_path / "a.fq").read_bytes() == (tmp_path / "b.fq").read_bytes()
+    assert (tmp_path / "ar.fq").read_bytes() == (tmp_path / "br.fq").read_bytes()
