@@ -67,12 +67,11 @@ def measure_tpu():
     # persistent compilation cache (same dir as the engine): repeat bench
     # runs skip the remote compiles, the flakiest part of the tunneled link
     try:
-        cache_dir = os.environ.get(
-            "RIBODETECTOR_TPU_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "ribodetector_tpu"),
-        )
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        from ribodetector_tpu.config import cache_dir
+
+        cdir = cache_dir()
+        os.makedirs(cdir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cdir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -92,10 +92,10 @@ fast:  one bf16 pass, fastest, ~0.2%% of borderline reads may flip label""")
     return args
 
 
-def main(argv=None):
-    args = build_arg_parser().parse_args(argv)
-    # honor an explicit JAX_PLATFORMS (e.g. =cpu) even when a TPU plugin's
-    # sitecustomize has overridden platform selection
+def honor_env_platforms():
+    """Honor an explicit JAX_PLATFORMS (e.g. =cpu) even when a TPU plugin's
+    sitecustomize has overridden platform selection. Shared by every entry
+    point (detect, train)."""
     if os.environ.get("JAX_PLATFORMS"):
         import jax
 
@@ -103,6 +103,11 @@ def main(argv=None):
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
             pass
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+    honor_env_platforms()
     if args.deviceid is not None:
         # restrict visible TPU chips, analogous to CUDA_VISIBLE_DEVICES
         # gating in the reference (detect.py:90-91). Must take effect before
@@ -157,12 +162,14 @@ def main(argv=None):
 
 def main_cpu(argv=None):
     """`ribodetector_cpu` parity entry point (reference:
-    detect_cpu.py:776-825): the same single engine pinned to the host CPU
-    backend. The reference needed a whole second runtime for CPUs; here
-    only the platform changes -- dense/ONNX semantics are already the
+    detect_cpu.py:776-825): the same single engine PINNED to the host CPU
+    backend -- unconditionally, like the reference's CPU runtime; an
+    inherited JAX_PLATFORMS must not reroute the 'CPU' command onto an
+    accelerator. The reference needed a whole second runtime for CPUs;
+    here only the platform changes -- dense/ONNX semantics are already the
     default, outputs stay deterministic (the reference CPU path is
     completion-order nondeterministic, SURVEY.md 5)."""
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     main(argv)
 
 

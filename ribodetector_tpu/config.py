@@ -17,6 +17,16 @@ from pathlib import Path
 PACKAGE_DIR = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_CONFIG = os.path.join(PACKAGE_DIR, "config.json")
 
+
+def cache_dir() -> str:
+    """Shared on-disk cache location (persistent XLA compile cache, parity
+    pass markers): $RIBODETECTOR_TPU_CACHE or ~/.cache/ribodetector_tpu.
+    One resolver so the compile cache and the markers can never split."""
+    return os.environ.get(
+        "RIBODETECTOR_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "ribodetector_tpu"),
+    )
+
 LOG_LEVELS = {0: logging.WARNING, 1: logging.INFO, 2: logging.DEBUG}
 
 

@@ -27,8 +27,9 @@ def make_data_mesh(num_devices: int | None = None) -> Mesh:
 
 
 def make_dp_tp_mesh(num_devices: int | None = None, tp: int = 2) -> Mesh:
-    """2-D (dp, tp) mesh; tp falls back to 1 if it does not divide the count."""
-    devices = jax.devices()
+    """2-D (dp, tp) mesh over LOCAL devices (see make_data_mesh); tp falls
+    back to 1 if it does not divide the count."""
+    devices = jax.local_devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)

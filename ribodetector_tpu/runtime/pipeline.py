@@ -84,12 +84,11 @@ class Predictor:
         # persistent compilation cache: repeat runs skip the one-off XLA
         # compile of the classify step
         try:
-            cache_dir = os.environ.get(
-                "RIBODETECTOR_TPU_CACHE",
-                os.path.join(os.path.expanduser("~"), ".cache", "ribodetector_tpu"),
-            )
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            from ribodetector_tpu.config import cache_dir
+
+            cdir = cache_dir()
+            os.makedirs(cdir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cdir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:  # pragma: no cover - cache is best-effort
             pass
@@ -194,28 +193,33 @@ class Predictor:
 
         from ribodetector_tpu.ops.lstm_pallas import bilstm_logits_pallas
 
-        # the verdict is a property of (jax version, chip kind, len,
-        # semantics) -- cache a pass marker next to the compile cache so
-        # repeat runs skip the probe entirely
+        # the verdict is a property of (jax version, package version, chip
+        # kind, len, semantics, WEIGHTS -- margins differ per checkpoint,
+        # and -e norrna or a user-trained artifact loads different weights)
+        # -- cache a pass marker next to the compile cache so repeat runs
+        # of the same combination skip the probe entirely
         marker = None
         try:
             import hashlib
 
-            cache_dir = os.environ.get(
-                "RIBODETECTOR_TPU_CACHE",
-                os.path.join(os.path.expanduser("~"), ".cache", "ribodetector_tpu"),
-            )
-            key = hashlib.sha1(
+            from ribodetector_tpu import __version__
+            from ribodetector_tpu.config import cache_dir
+
+            h = hashlib.sha1()
+            with open(self.state_file, "rb") as fh:
+                h.update(fh.read())
+            h.update(
                 "|".join(
                     [
                         jax.__version__,
+                        __version__,
                         getattr(jax.local_devices()[0], "device_kind", "?"),
                         str(self.len),
                         self.semantics,
                     ]
                 ).encode()
-            ).hexdigest()[:16]
-            marker = os.path.join(cache_dir, f"parity_ok_{key}")
+            )
+            marker = os.path.join(cache_dir(), f"parity_ok_{h.hexdigest()[:16]}")
             if os.path.exists(marker):
                 return
         except Exception:  # pragma: no cover - marker is best-effort

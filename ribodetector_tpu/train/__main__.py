@@ -65,17 +65,22 @@ def _load_labeled(rrna_path, norrna_path, max_len, seed):
     return tokens[perm], lengths[perm], labels[perm]
 
 
+VALID_MONITORS = {"loss": "loss", "acc": "acc", "recall": "recall",
+                  "precision": "precision", "f1": "F1", "mcc": "mcc"}
+
+
 def main(argv=None):
-    args = build_arg_parser().parse_args(argv)
-    import os
+    ap = build_arg_parser()
+    args = ap.parse_args(argv)
+    if bool(args.val_rrna) != bool(args.val_norrna):
+        ap.error("--val-rrna and --val-norrna must be given together")
+    monitor = VALID_MONITORS.get(args.monitor.lower())
+    if monitor is None:
+        ap.error(f"--monitor must be one of {sorted(VALID_MONITORS)}")
 
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
+    from ribodetector_tpu.cli import honor_env_platforms
 
-        try:
-            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-        except Exception:
-            pass
+    honor_env_platforms()
     import jax
 
     from ribodetector_tpu.models.bilstm import init_params, load_params
@@ -96,12 +101,20 @@ def main(argv=None):
         params = init_params(jax.random.PRNGKey(args.seed))
 
     mesh = None
+    batch = args.batch
     n_dev = len(jax.local_devices())
     if n_dev > 1:
         from ribodetector_tpu.parallel.mesh import make_dp_tp_mesh
 
         mesh = make_dp_tp_mesh(tp=args.tp)
-        print(f"training on {n_dev} devices, mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        dp = mesh.devices.shape[0]
+        if batch % dp:
+            # batch rows shard over the dp axis; round down rather than
+            # fail on the first jitted step
+            batch = max(dp, batch - batch % dp)
+            print(f"--batch rounded to {batch} (divisible by dp={dp})")
+        print(f"training on {n_dev} devices, mesh "
+              f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     cfg = TrainConfig(
         learning_rate=args.lr,
@@ -113,13 +126,14 @@ def main(argv=None):
         data,
         cfg,
         epochs=args.epochs,
-        batch_size=args.batch,
+        batch_size=batch,
         mesh=mesh,
         eval_data=eval_data,
         checkpoint_dir=args.out,
-        monitor=args.monitor,
+        monitor=monitor,
     )
-    print(f"checkpoints in {args.out} (best.npz tracks eval {args.monitor}); "
+    tracked = f"eval {monitor}" if eval_data is not None else "train loss (no val set)"
+    print(f"checkpoints in {args.out} (best.npz tracks {tracked}); "
           "use with the engine via --config state_file, or export to torch: "
           "python -m ribodetector_tpu.models.convert best.npz best.pth")
 

@@ -198,6 +198,14 @@ def fit(
 
     tokens, lengths, labels = data
     n = len(labels)
+    if n == 0:
+        raise ValueError("fit() received an empty dataset")
+    if batch_size > n:
+        # a zero-step epoch would 'train' nothing yet still checkpoint;
+        # shrink instead (the last fractional batch is dropped by design,
+        # matching the reference's drop_last-style loop)
+        log_fn(f"batch_size {batch_size} > dataset size {n}; using {n}")
+        batch_size = n
     best = None
     for epoch in range(epochs):
         perm = np.random.default_rng(epoch).permutation(n)
@@ -226,7 +234,16 @@ def fit(
             save_params(
                 os.path.join(checkpoint_dir, f"epoch{epoch:03d}.npz"), params, meta
             )
-            score = metrics.get(monitor, -metrics["train_loss"])
+            if monitor in metrics:
+                # loss-like monitors are minimized; everything else maximized
+                sign = -1.0 if "loss" in monitor else 1.0
+                score = sign * metrics[monitor]
+            else:
+                if eval_data is not None:
+                    raise ValueError(
+                        f"monitor={monitor!r} not in metrics {sorted(metrics)}"
+                    )
+                score = -metrics["train_loss"]
             if best is None or score > best:
                 best = score
                 save_params(os.path.join(checkpoint_dir, "best.npz"), params, meta)
