@@ -678,9 +678,10 @@ class _ChunkAcc:
     larger than the sizing estimate make accumulators span many windows,
     and several unwritten accumulators can be alive at once (their batches
     queue up to DEPTH deep) -- so the runner enforces a GLOBAL per-side
-    budget of pinned windows (_BucketRunnerState in run_bucketed): before
-    consuming a new window it drains finished batches until older
-    accumulators have written and unpinned, and it splits the current
+    budget of pinned windows (NativeRunner._pinned refcounts +
+    WINDOW_BUDGET): before consuming a new window it drains finished
+    batches until older accumulators have written and unpinned, and it
+    splits the current
     accumulator (same chunk, same file handles) when that accumulator
     alone would span too many windows. close_fhs marks the chunk's final
     accumulator (parts mode closes the chunk's part files after it
