@@ -169,7 +169,17 @@ def export_onnx(npz_path: str, onnx_path: str, read_len: int = 100) -> None:
         if have_onnx:
             yield  # real pass available
             return
-        from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+        try:
+            from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+        except (ImportError, AttributeError) as e:
+            # the private-module layout moves across torch releases; when it
+            # does, fall through to the actionable fix instead of leaking the
+            # internal import failure
+            raise RuntimeError(
+                "ONNX export without the 'onnx' package relies on a private "
+                "torch module that this torch version does not expose; "
+                "install the 'onnx' package (pip install onnx) and retry"
+            ) from e
 
         orig = onnx_proto_utils._add_onnxscript_fn
         onnx_proto_utils._add_onnxscript_fn = lambda proto, custom_opsets: proto
@@ -196,14 +206,54 @@ def export_onnx(npz_path: str, onnx_path: str, read_len: int = 100) -> None:
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) not in (2, 3):
-        print(__doc__)
-        print("  python -m ribodetector_tpu.models.convert <in.npz> <out.onnx> [read_len]")
-        raise SystemExit(2)
-    src, dst = argv[0], argv[1]
+    """CLI matching the reference converter's shape (a positional source
+    plus -l/--length, reference: ribodetector/convert_onnx.py:20-23) with
+    the destination inferred from the source when omitted:
+
+      convert <x.pth>                  -> x.npz        (degate to native)
+      convert <x.npz> -l 100           -> x.onnx       (reference's output)
+      convert <src> <dst> [read_len]   -> explicit destination by extension
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m ribodetector_tpu.models.convert",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("src", help="source artifact (.pth or .npz)")
+    p.add_argument(
+        "dst",
+        nargs="?",
+        default=None,
+        help="destination (.npz/.pth/.onnx); default: src with .pth->.npz, "
+        ".npz->.onnx (the reference converter's derived-name behavior)",
+    )
+    p.add_argument(
+        "read_len_pos",
+        nargs="?",
+        type=int,
+        default=None,
+        metavar="read_len",
+        help="positional alias for --length (onnx export trace length)",
+    )
+    p.add_argument(
+        "-l",
+        "--length",
+        type=int,
+        default=None,
+        help="input read length used to trace the ONNX graph (default 100; "
+        "reference: convert_onnx.py:22)",
+    )
+    args = p.parse_args(argv if argv is not None else sys.argv[1:])
+
+    src, dst = args.src, args.dst
+    if dst is None:
+        stem = src.rsplit(".", 1)[0]
+        dst = stem + (".onnx" if src.endswith(".npz") else ".npz")
+    length = args.length if args.length is not None else args.read_len_pos
     if dst.endswith(".onnx"):
-        export_onnx(src, dst, int(argv[2]) if len(argv) == 3 else 100)
+        export_onnx(src, dst, length if length is not None else 100)
         meta = {"opset": 10, "dynamic_axes": ["batch_size", "sequence_len"]}
     elif src.endswith(".npz"):
         meta = export_checkpoint(src, dst)

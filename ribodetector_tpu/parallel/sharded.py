@@ -64,16 +64,43 @@ def host_chunk_assignment(chunk_index: int, num_hosts: int, host_id: int) -> boo
     return chunk_index % num_hosts == host_id
 
 
-def merge_counts(local_counts: dict) -> dict:
-    """psum per-host summary counters over all hosts (DCN collective).
+_LIMB = 1 << 31  # counts ride the collective as two int31 limbs per value
 
-    Single-host (the common case) returns the input unchanged.
+
+def counts_to_limbs(counts: dict, keys) -> np.ndarray:
+    """[nkeys, 2] int32 (lo, hi) limbs of each int64 count.
+
+    JAX without ``jax_enable_x64`` silently downcasts int64 arrays to int32,
+    so shipping raw counts over a collective truncates past 2**31 reads --
+    exactly the scale multi-host mode exists for. Each limb is < 2**31 and
+    therefore exact in int32 for any count below 2**62.
+    """
+    arr = np.asarray([counts[k] for k in keys], dtype=np.int64)
+    if (arr < 0).any():
+        raise ValueError("summary counts must be non-negative")
+    return np.stack([arr % _LIMB, arr // _LIMB], axis=1).astype(np.int32)
+
+
+def limbs_to_counts(gathered: np.ndarray, keys) -> dict:
+    """Inverse of counts_to_limbs over a [hosts, nkeys, 2] gather: sum the
+    per-host limbs in int64 on the host, then recombine."""
+    tot = np.asarray(gathered, dtype=np.int64).sum(axis=0)
+    vals = tot[..., 0] + tot[..., 1] * _LIMB
+    return {k: int(v) for k, v in zip(keys, vals)}
+
+
+def merge_counts(local_counts: dict) -> dict:
+    """Sum per-host summary counters over all hosts (DCN collective).
+
+    Single-host (the common case) returns the input unchanged. Values are
+    split into int31 limbs for the gather and recombined in numpy int64, so
+    aggregate counts stay exact past 2**31 reads without enabling x64.
     """
     if jax.process_count() == 1:
         return dict(local_counts)
     from jax.experimental import multihost_utils
 
     keys = sorted(local_counts)
-    vec = jnp.asarray([local_counts[k] for k in keys], jnp.int64)
-    summed = multihost_utils.process_allgather(vec).sum(axis=0)
-    return {k: int(v) for k, v in zip(keys, np.asarray(summed))}
+    limbs = jnp.asarray(counts_to_limbs(local_counts, keys))
+    gathered = multihost_utils.process_allgather(limbs)
+    return limbs_to_counts(np.asarray(gathered), keys)

@@ -61,10 +61,12 @@ def route_records(lengths, ptokens, buckets, max_len):
 
     lengths: [n] int32 raw read lengths (already truncated to max_len by the
     parser). ptokens: [n, packed_len] uint8 base-5 rows (for the all-zero
-    override). Returns [n] int8 bucket indices into `buckets`.
+    override). Returns [n] int16 bucket indices into `buckets` (int16 so a
+    long user-supplied --buckets list cannot wrap the index; buckets are
+    ints in [1, max_len] so len(buckets) <= max_len << 32767 always fits).
     """
     eff = np.minimum(lengths, max_len)
-    idx = np.searchsorted(np.asarray(buckets), eff, side="left").astype(np.int8)
+    idx = np.searchsorted(np.asarray(buckets), eff, side="left").astype(np.int16)
     # all-zero reads (every packed byte is the pad trio) must run the full
     # recurrence so their T-1 gather lands at max_len-1
     allpad = (ptokens == PAD_B5).all(axis=1)

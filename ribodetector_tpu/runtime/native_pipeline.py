@@ -512,6 +512,14 @@ class _Writer:
             if item is self._DONE:
                 return
             fh, payload, scratch = item
+            if fh is None:  # ordered callback (see call())
+                try:
+                    if self._exc is None:
+                        payload()
+                except BaseException as e:
+                    if self._exc is None:
+                        self._exc = e
+                continue
             if payload is self._CLOSE:
                 # ordered close: runs after every write previously enqueued
                 # for this handle (per-chunk part files in distributed mode)
@@ -594,6 +602,14 @@ class _Writer:
         """Enqueue an ordered close for fh: it happens strictly after every
         write already enqueued for it."""
         self._q.put((fh, self._CLOSE, None))
+
+    def call(self, fn):
+        """Enqueue fn to run on the writer thread strictly after everything
+        already enqueued (ordered side effects -- e.g. a --resume manifest
+        update that must not land before its chunk's writes are on disk).
+        Skipped after a write error; an exception from fn is stored and
+        propagated like a write error."""
+        self._q.put((None, fn, None))
 
     def barrier(self):
         """Block until everything enqueued so far has been written."""
@@ -692,7 +708,7 @@ class _ChunkAcc:
 
     __slots__ = (
         "ci", "fhs", "labels", "n", "inflight", "closed", "segs", "segs2",
-        "close_fhs", "winids",
+        "close_fhs", "winids", "records_cum",
     )
 
     def __init__(self, ci, fhs, cap):
@@ -706,6 +722,8 @@ class _ChunkAcc:
         self.segs2 = []  # paired: same boundaries for the R2 side
         self.close_fhs = True
         self.winids = (set(), set())  # per-side window ids this acc pins
+        self.records_cum = 0  # cumulative records through this chunk
+        # (set by the runner before the final flush; --resume manifest)
 
     def would_overflow(self, new_ids):
         """True when noting these per-side window ids would exceed this
@@ -733,114 +751,16 @@ class NativeRunner:
         # HBM, so the native path lifts the device batch to cut per-call
         # dispatch overhead. batch_size still sizes chunks (--chunk_size
         # parity) and bounds host memory via the chunk stream.
-        bs = self.dbs = max(predictor.batch_size, min(131072, self._records_per_chunk()))
-        rows = 2 * bs if predictor.is_paired else bs
-        pl = native.b5_packed_len(predictor.len)
-        # jitted step taking base-5 packed tokens (3x smaller transfer) and
-        # emitting final int32 labels (ensure reconciliation on device, 8x
-        # smaller device->host result)
-        emit = (
-            ("pair_labels", predictor.args.ensure)
-            if predictor.is_paired
-            else "labels"
-        )
-        self._infer = predictor._build_infer(packed_max_len=predictor.len, emit=emit)
+        self.dbs = max(predictor.batch_size, min(131072, self._records_per_chunk()))
         self._need_lengths = predictor.semantics == "packed"
-        # Staging buffers: a lazy pool of per-batch (tokens, lengths)
-        # buffers, acquired at encode time and released only after the
-        # batch's LABELS were fetched (never right after device_put -- the
-        # CPU backend can alias a numpy buffer zero-copy, so recycling on
-        # transfer completion would corrupt an in-flight batch there).
-        # Pool size is bounded by the in-flight depth (DEPTH + 2).
-        self._stage_shape = (rows, pl)
-        self._stage_pool = []
         self._writer = None
-        # TWO dispatcher threads: jax.device_put over a tunneled/remote
-        # device link blocks for the whole host-side transfer, and a single
-        # issuing thread serializes that fixed per-call latency with the
-        # jit dispatch. With per-batch pooled buffers there is no ordering
-        # requirement left (labels are matched to batches by future, not
-        # arrival), and two concurrent feeders measurably reach the
-        # device-resident floor (experiments/kbench7.py: 81.8 -> 62.0
-        # ms/batch; more than two contend and regress).
-        from concurrent.futures import ThreadPoolExecutor
-
-        self._dispatcher = ThreadPoolExecutor(max_workers=2)
         import time
 
         self._last_log = time.monotonic()
         self._last_read = 0
-        # distributed parts mode: finished batches note their chunk's file
-        # handles; a change of handles means the previous chunk's writes are
-        # all enqueued and its files can close (writer-ordered)
         self._parts_mode = False
-        self._prev_fhs = None
+        self._resume = None
         self._bucket_dispatcher = None
-
-    def _note_batch_fhs(self, fhs):
-        if not self._parts_mode or fhs is self._prev_fhs:
-            return
-        if self._prev_fhs is not None:
-            for group in self._prev_fhs.values():
-                for fh in group:
-                    self._writer.close_fh(fh)
-        self._prev_fhs = fhs
-
-    def _close_last_parts(self):
-        if self._parts_mode and self._prev_fhs is not None:
-            for group in self._prev_fhs.values():
-                for fh in group:
-                    self._writer.close_fh(fh)
-            self._prev_fhs = None
-
-    # -- batching ------------------------------------------------------
-
-    def _acquire_stage(self):
-        if self._stage_pool:
-            return self._stage_pool.pop()
-        rows, pl = self._stage_shape
-        return (np.full((rows, pl), _PAD_BYTE, np.uint8), np.zeros(rows, np.int32))
-
-    def _infer_tokens(self, tok1, len1, tok2=None, len2=None):
-        """Copy packed-token views into a pooled staging buffer and hand the
-        batch to a dispatcher thread (H2D transfer + jitted classify);
-        returns (labels_future, staging_bufs) -- the caller releases the
-        buffers after fetching the labels."""
-        nb = len(tok1)
-        bs = self.dbs
-        st, sl = self._acquire_stage()
-        st[:nb] = tok1
-        if tok2 is not None:
-            # R2 always at the fixed offset bs so pair i aligns with row
-            # bs + i for the on-device reconciliation (pipeline emit
-            # "pair_labels"); rows [nb, bs) are padding on a short last batch
-            st[bs : bs + nb] = tok2
-            if nb < bs:
-                st[nb:bs] = _PAD_BYTE
-                st[bs + nb :] = _PAD_BYTE
-        elif nb < len(st):
-            st[nb:] = _PAD_BYTE
-        if self._need_lengths:
-            sl[:nb] = len1
-            if tok2 is not None:
-                sl[bs : bs + nb] = len2
-                if nb < bs:
-                    sl[nb:bs] = 0
-                    sl[bs + nb :] = 0
-            else:
-                sl[nb:] = 0
-        return self._dispatcher.submit(self._device_call, st, sl), (st, sl)
-
-    def _device_call(self, st, sl):
-        """Dispatcher-thread body: H2D transfer + classify call. device_put
-        with the predictor's input sharding: on a multi-chip host the
-        staged batch splits across the data mesh directly."""
-        import jax
-
-        st_dev = jax.device_put(st, self.p.input_sharding)
-        if self._need_lengths:
-            return self._infer(st_dev, jax.device_put(sl, self.p.length_sharding))
-        return self._infer(st_dev)
 
     # -- writing -------------------------------------------------------
 
@@ -857,234 +777,6 @@ class NativeRunner:
                 "\n".join("\n".join(records[i]) for i in sel) + "\n"
             ).encode("latin-1")
             self._writer.write(fh, payload)
-
-    # -- single-end ----------------------------------------------------
-
-    def run_single(self):
-        p = self.p
-        resume = ResumeState.maybe(p) if getattr(p.args, "resume", False) else None
-        counts = {"norrna": 0, "rrna": 0, "unclf": 0}
-        num_read = 0
-        bs = self.dbs
-        rpc = self._records_per_chunk()
-        stream = make_chunk_stream(
-            p.input[0], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
-        )
-        parts = DistributedParts(p) if getattr(p, "distributed", False) else None
-        self._parts_mode = parts is not None
-        if resume:
-            num_read, counts = resume.restore(p)
-            fhs = None
-        elif parts:
-            fhs = None  # per-chunk part files; host 0 merges after barrier
-        else:
-            fhs = p._open_outputs(binary=True)
-
-        self._writer = _Writer(compress_threads=self._compress_threads())
-        timer = p.timer
-        cur = _RecordCursor(_Prefetcher(iter(stream), depth=self.PREFETCH))
-        from collections import deque
-
-        pending = deque()  # (fhs, data, offsets, records, start, nb, labels_dev)
-        # logical chunks are exactly rpc records (only the last is short), so
-        # resume/host-shard chunk indices are stable regardless of how the
-        # byte windows happened to split the file
-        ci = resume.chunks_done if resume else 0
-        if resume and ci:
-            with timer.stage("parse"):
-                cur.skip(ci * rpc)
-        while True:
-            with timer.stage("parse"):
-                if not cur.ready():
-                    break
-            if self._hosts > 1 and not host_chunk_assignment(
-                ci, self._hosts, self._host_id
-            ):
-                with timer.stage("parse"):
-                    cur.skip(rpc)  # another host's chunk (parse cost only)
-                ci += 1
-                continue
-            if resume:
-                fhs = resume.open_chunk(p, ci)
-            elif parts:
-                fhs = parts.open_chunk(p, ci)
-            done = 0
-            while done < rpc:
-                with timer.stage("parse"):
-                    if not cur.ready():
-                        break
-                nb = min(bs, rpc - done, cur.chunk_avail())
-                data, boffsets, toks, lens, recs, start = cur.take(nb)
-                with timer.stage("infer_dispatch"):
-                    logits_dev = self._infer_tokens(toks, lens)
-                pending.append(
-                    (fhs, data, boffsets, recs, start, nb, logits_dev)
-                )
-                if resume:
-                    # chunk completion must cover all its batches
-                    self._finish_single(counts, *pending.popleft())
-                elif len(pending) > self.DEPTH:
-                    self._finish_single(counts, *pending.popleft())
-                done += nb
-            num_read += done
-            if resume:
-                self._writer.barrier()
-                resume.complete_chunk(p, ci, fhs, num_read, counts)
-            ci += 1
-            self._log_progress(num_read)
-        while pending:
-            self._finish_single(counts, *pending.popleft())
-        self._close_last_parts()
-        self._writer.close()
-        if resume:
-            resume.merge(p)
-        elif not parts:  # parts: host 0 merges after the global barrier
-            p._close_outputs(fhs)
-        p._log_summary(num_read, counts)
-
-    def _finish_single(self, counts, fhs, data, boffsets, chunk_records, start, nb, labels_fut):
-        self._note_batch_fhs(fhs)
-        fut, stage_bufs = labels_fut
-        with self.p.timer.stage("infer_wait"):
-            labels = np.asarray(fut.result())[:nb]
-        self._stage_pool.append(stage_bufs)
-        sel0 = np.flatnonzero(labels == 0)
-        sel1 = np.flatnonzero(labels == 1)
-        counts["norrna"] += len(sel0)
-        counts["rrna"] += len(sel1)
-        if chunk_records is None:
-            self._write_sel(fhs["norrna"][0], data, boffsets, sel0)
-            if "rrna" in fhs:
-                self._write_sel(fhs["rrna"][0], data, boffsets, sel1)
-        else:  # dirty chunk: reference-exact rstripped text
-            self._write_text(fhs["norrna"][0], chunk_records, sel0 + start)
-            if "rrna" in fhs:
-                self._write_text(fhs["rrna"][0], chunk_records, sel1 + start)
-
-    # -- paired-end ----------------------------------------------------
-
-    def run_paired(self):
-        p = self.p
-        resume = ResumeState.maybe(p) if getattr(p.args, "resume", False) else None
-        counts = {"norrna": 0, "rrna": 0, "unclf": 0}
-        num_read = 0
-        bs = self.dbs
-        rpc = self._records_per_chunk()
-        s1 = make_chunk_stream(
-            p.input[0], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
-        )
-        s2 = make_chunk_stream(
-            p.input[1], p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH
-        )
-        parts = DistributedParts(p) if getattr(p, "distributed", False) else None
-        self._parts_mode = parts is not None
-        if resume:
-            num_read, counts = resume.restore(p)
-            fhs = None
-        elif parts:
-            fhs = None  # per-chunk part files; host 0 merges after barrier
-        else:
-            fhs = p._open_outputs(binary=True)
-
-        self._writer = _Writer(compress_threads=self._compress_threads())
-        timer = p.timer
-        # one prefetch thread per input file: R1 and R2 parse concurrently
-        # (the reference uses Pool(2) the same way, detect.py:131-132).
-        # Record-exact cursors keep the two sides pair-aligned even when the
-        # byte-window-adaptive streams split the files into different chunk
-        # record counts (see _RecordCursor).
-        cur1 = _RecordCursor(_Prefetcher(iter(s1), depth=self.PREFETCH))
-        cur2 = _RecordCursor(_Prefetcher(iter(s2), depth=self.PREFETCH))
-        from collections import deque
-
-        pending = deque()
-        # logical chunk = exactly rpc pairs; stable across runs and hosts
-        ci = resume.chunks_done if resume else 0
-        if resume and ci:
-            with timer.stage("parse"):
-                cur1.skip(ci * rpc)
-                cur2.skip(ci * rpc)
-        while True:
-            with timer.stage("parse"):
-                if not (cur1.ready() and cur2.ready()):
-                    break  # quirk #8: pairs end at the shorter file
-            if self._hosts > 1 and not host_chunk_assignment(
-                ci, self._hosts, self._host_id
-            ):
-                with timer.stage("parse"):
-                    cur1.skip(rpc)  # another host's chunk (parse cost only)
-                    cur2.skip(rpc)
-                ci += 1
-                continue
-            if resume:
-                fhs = resume.open_chunk(p, ci)
-            elif parts:
-                fhs = parts.open_chunk(p, ci)
-            done = 0
-            while done < rpc:
-                with timer.stage("parse"):
-                    if not (cur1.ready() and cur2.ready()):
-                        break
-                nb = min(
-                    bs, rpc - done, cur1.chunk_avail(), cur2.chunk_avail()
-                )
-                d1, bo1, t1, l1, recs1, st1 = cur1.take(nb)
-                d2, bo2, t2, l2, recs2, st2 = cur2.take(nb)
-                with timer.stage("infer_dispatch"):
-                    logits_dev = self._infer_tokens(t1, l1, t2, l2)
-                pending.append(
-                    (fhs, d1, bo1, recs1, st1, d2, bo2, recs2, st2, nb, logits_dev)
-                )
-                if resume:
-                    self._finish_paired(counts, *pending.popleft())
-                elif len(pending) > self.DEPTH:
-                    self._finish_paired(counts, *pending.popleft())
-                done += nb
-            num_read += done
-            if resume:
-                self._writer.barrier()
-                resume.complete_chunk(p, ci, fhs, num_read, counts)
-            ci += 1
-            self._log_progress(num_read)
-        while pending:
-            self._finish_paired(counts, *pending.popleft())
-        self._close_last_parts()
-        self._writer.close()
-        if resume:
-            resume.merge(p)
-        elif not parts:  # parts: host 0 merges after the global barrier
-            p._close_outputs(fhs)
-        p._log_summary(num_read, counts)
-
-    def _finish_paired(
-        self, counts, fhs, d1, bo1, recs1, st1, d2, bo2, recs2, st2, nb, labels_fut
-    ):
-        p = self.p
-        self._note_batch_fhs(fhs)
-        fut, stage_bufs = labels_fut
-        with p.timer.stage("infer_wait"):
-            # final pair labels, reconciled on device (ensure truth table in
-            # runtime/ensure.py paired_final_labels_jnp)
-            labels = np.asarray(fut.result())[:nb]
-        self._stage_pool.append(stage_bufs)
-        sel = {lab: np.flatnonzero(labels == lab) for lab in (0, 1, -1)}
-        counts["norrna"] += len(sel[0])
-        counts["rrna"] += len(sel[1])
-        for (data, boffsets, recs, start, side) in (
-            (d1, bo1, recs1, st1, 0),
-            (d2, bo2, recs2, st2, 1),
-        ):
-            if recs is None:
-                w = lambda fh, s: self._write_sel(fh, data, boffsets, s)
-            else:
-                w = lambda fh, s: self._write_text(fh, recs, s + start)
-            w(fhs["norrna"][side], sel[0])
-            if "rrna" in fhs:
-                w(fhs["rrna"][side], sel[1])
-            if "unclf" in fhs:
-                w(fhs["unclf"][side], sel[-1])
-        if "unclf" in fhs:
-            counts["unclf"] += len(sel[-1])
 
     # -- length-bucketed mode (BASELINE config 4) ----------------------
     #
@@ -1271,20 +963,45 @@ class NativeRunner:
         acc.segs.clear()
         acc.segs2.clear()
         self._unpin_windows(acc)
-        if self._parts_mode and acc.close_fhs:
+        if self._resume is not None:
+            if acc.close_fhs:
+                # chunk complete: the manifest update runs ON THE WRITER
+                # THREAD, ordered after every write just enqueued for this
+                # chunk (complete_chunk also closes the part files) -- so
+                # unlike the round-3 engine there is NO per-chunk barrier on
+                # this thread and the pipeline keeps DEPTH batches in flight
+                # across chunk boundaries while resume stays crash-exact.
+                # counts/records snapshots are taken here because accs write
+                # strictly FIFO, so they cover exactly chunks <= acc.ci.
+                resume, p, ci = self._resume, self.p, acc.ci
+                records, snap = acc.records_cum, dict(counts)
+                self._writer.call(
+                    lambda: resume.complete_chunk(p, ci, fhs, records, snap)
+                )
+        elif self._parts_mode and acc.close_fhs:
             for group in fhs.values():
                 for fh in group:
                     self._writer.close_fh(fh)
 
     def run_bucketed(self, buckets):
-        """Single- and paired-end bucketed streaming (same loop: the paired
-        case routes by the pair's larger bucket so both mates share one
-        device call for on-device ensure reconciliation)."""
+        """THE run loop: single- and paired-end bucketed streaming (the
+        paired case routes by the pair's larger bucket so both mates share
+        one device call for on-device ensure reconciliation). Buckets-off
+        and --resume runs go through here too, with a single full-size
+        bucket list [max_len] -- routing is then the identity and each
+        partial chunk tail still gets the power-of-two ladder flush sizes.
+        --resume writes per-chunk part files and completes the manifest on
+        the writer thread (ordered after the chunk's writes), keeping DEPTH
+        batches in flight across chunk boundaries."""
         p = self.p
         from ribodetector_tpu.runtime.buckets import route_records
 
         paired = p.is_paired
-        self._counts = counts = {"norrna": 0, "rrna": 0, "unclf": 0}
+        resume = (
+            ResumeState.maybe(p) if getattr(p.args, "resume", False) else None
+        )
+        self._resume = resume
+        counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
         rpc = self._records_per_chunk()
         streams = [
@@ -1293,7 +1010,12 @@ class NativeRunner:
         ]
         parts = DistributedParts(p) if getattr(p, "distributed", False) else None
         self._parts_mode = parts is not None
-        fhs = None if parts else p._open_outputs(binary=True)
+        if resume:
+            num_read, counts = resume.restore(p)
+            fhs = None
+        else:
+            fhs = None if parts else p._open_outputs(binary=True)
+        self._counts = counts
         self._writer = _Writer(compress_threads=self._compress_threads())
         timer = p.timer
         curs = [
@@ -1301,16 +1023,19 @@ class NativeRunner:
             for s in streams
         ]
         # Bucketed batches each own a pooled staging buffer (released only
-        # after their labels are fetched), so -- unlike the contiguous
-        # path, whose slot-reuse proof needs ordered single-threaded
-        # dispatch -- their H2D transfers can overlap: a pool of dispatcher
-        # threads hides the tunneled device link's large fixed per-call
-        # device_put latency, which otherwise serializes the ~5x more
-        # (smaller) calls bucketing makes per chunk. Labels scatter by
-        # index, so completion order is irrelevant.
+        # after their labels are fetched), so their H2D transfers can
+        # overlap: a pool of dispatcher threads hides the tunneled device
+        # link's large fixed per-call device_put latency, which otherwise
+        # serializes the ~5x more (smaller) calls bucketing makes per
+        # chunk. Labels scatter by index, so completion order is
+        # irrelevant. With a single bucket (full-size batches) two feeders
+        # measurably reach the device-resident floor and more contend
+        # (experiments/kbench7.py: 81.8 -> 62.0 ms/batch).
         from concurrent.futures import ThreadPoolExecutor
 
-        self._bucket_dispatcher = ThreadPoolExecutor(max_workers=4)
+        self._bucket_dispatcher = ThreadPoolExecutor(
+            max_workers=2 if len(buckets) == 1 else 4
+        )
         from collections import Counter
 
         self._pinned = (Counter(), Counter())
@@ -1319,7 +1044,11 @@ class NativeRunner:
         from collections import deque
 
         pending = deque()
-        ci = 0
+        ci = resume.chunks_done if resume else 0
+        if resume and ci:
+            with timer.stage("parse"):
+                for c in curs:
+                    c.skip(ci * rpc)
         while True:
             with timer.stage("parse"):
                 if not all(c.ready() for c in curs):
@@ -1332,7 +1061,12 @@ class NativeRunner:
                         c.skip(rpc)
                 ci += 1
                 continue
-            chunk_fhs = parts.open_chunk(p, ci) if parts else fhs
+            if resume:
+                chunk_fhs = resume.open_chunk(p, ci)
+            elif parts:
+                chunk_fhs = parts.open_chunk(p, ci)
+            else:
+                chunk_fhs = fhs
             acc = _ChunkAcc(ci, chunk_fhs, rpc)
             done = 0
             while done < rpc:
@@ -1375,14 +1109,18 @@ class NativeRunner:
                     )
                 acc.n += cnt
                 done += cnt
-            self._flush_buckets(pending, infers, stagers, partial, acc)
             num_read += done
+            acc.records_cum = num_read  # manifest snapshot (set pre-flush:
+            # _flush_buckets may write + complete the chunk synchronously)
+            self._flush_buckets(pending, infers, stagers, partial, acc)
             ci += 1
             self._log_progress(num_read)
         while pending:
             self._finish_bucketed(*pending.popleft())
         self._writer.close()
-        if not parts:
+        if resume:
+            resume.merge(p)
+        elif not parts:
             p._close_outputs(fhs)
         p._log_summary(num_read, counts)
 
@@ -1420,23 +1158,15 @@ class NativeRunner:
         from ribodetector_tpu.runtime.buckets import choose_buckets
 
         p = self.p
-        buckets = None
-        if not getattr(p.args, "resume", False):
-            # --resume keeps the per-chunk barrier semantics of the
-            # unbucketed path; everything else buckets by default
-            spec = getattr(p.args, "buckets", None) or p.config.get(
-                "runtime", {}
-            ).get("buckets", "auto")
-            buckets = choose_buckets(p.len, spec)
+        spec = getattr(p.args, "buckets", None) or p.config.get(
+            "runtime", {}
+        ).get("buckets", "auto")
+        # one engine for every mode: buckets off (or degenerate at this -l)
+        # runs the same loop with a single full-size bucket
+        buckets = choose_buckets(p.len, spec) or [p.len]
         try:
-            if buckets:
-                self.run_bucketed(buckets)
-            elif p.is_paired:
-                self.run_paired()
-            else:
-                self.run_single()
+            self.run_bucketed(buckets)
         finally:
-            self._dispatcher.shutdown(wait=False, cancel_futures=True)
             if self._bucket_dispatcher is not None:
                 self._bucket_dispatcher.shutdown(wait=False, cancel_futures=True)
 

@@ -131,6 +131,26 @@ def test_export_structure(exported):
     assert sum(a.size for a in inits) >= 137730
 
 
+def test_converter_cli_named_options(tmp_path, ref_params_path):
+    """The converter CLI mirrors the reference's shape (positional source +
+    -l/--length with the destination name derived from the source,
+    reference: ribodetector/convert_onnx.py:20-23,38-39)."""
+    pytest.importorskip("torch")
+    import shutil
+
+    from ribodetector_tpu.models.convert import main
+
+    src = tmp_path / "weights.npz"
+    shutil.copy(ref_params_path, src)
+    main([str(src), "-l", "60"])
+    derived = tmp_path / "weights.onnx"
+    assert derived.exists()
+    ir, opset, ops, _ = _onnx_summary(str(derived))
+    assert opset == 10 and "LSTM" in ops
+    with pytest.raises(SystemExit):
+        main([])  # missing source -> argparse usage error
+
+
 @pytest.mark.skipif(not os.path.exists(REF_ONNX), reason="reference onnx absent")
 def test_export_weights_match_reference_onnx(exported):
     """Every float initializer must match the reference's shipped .onnx

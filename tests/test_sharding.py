@@ -92,6 +92,34 @@ def test_merge_counts_single_host():
     assert merge_counts({"rrna": 3, "norrna": 5}) == {"rrna": 3, "norrna": 5}
 
 
+def test_merge_counts_limbs_exact_past_int32():
+    """Counters survive >2**31 total reads without x64: the collective ships
+    int31 limbs and the recombination happens in numpy int64 (round-3 verdict:
+    jnp.int64 silently truncated to int32 under default JAX config)."""
+    from ribodetector_tpu.parallel.sharded import counts_to_limbs, limbs_to_counts
+
+    per_host = [
+        {"num_read": 2**31 + 12345, "rrna": 2**33 + 7, "norrna": 0},
+        {"num_read": 2**31 - 1, "rrna": 99, "norrna": 2**31},
+        {"num_read": 3, "rrna": 2**40, "norrna": 1},
+    ]
+    keys = sorted(per_host[0])
+    limbs = np.stack([counts_to_limbs(c, keys) for c in per_host])
+    assert limbs.dtype == np.int32  # what actually rides the collective
+    got = limbs_to_counts(limbs, keys)
+    want = {k: sum(c[k] for c in per_host) for k in keys}
+    assert got == want
+    assert got["rrna"] == 2**33 + 7 + 99 + 2**40  # > 2**31, exact
+
+
+def test_merge_counts_limbs_roundtrip_single_host_shape():
+    from ribodetector_tpu.parallel.sharded import counts_to_limbs, limbs_to_counts
+
+    c = {"a": 0, "b": 2**31, "c": 2**45 + 17}
+    keys = sorted(c)
+    assert limbs_to_counts(counts_to_limbs(c, keys)[None], keys) == c
+
+
 def test_multihost_cli_shards_partition_the_input(tmp_path, rng, ref_params_path):
     """--hosts N / --host-id k: per-host shards are disjoint and their union
     equals the single-host partition (native path, CPU backend)."""
