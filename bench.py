@@ -1,10 +1,17 @@
 #!/usr/bin/env python3
-"""Benchmark: device classify throughput on 100 bp paired-end reads.
+"""Benchmark: end-to-end CLI reads/s (headline) + device classify stage.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "reads/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "reads/sec", "vs_baseline": N, ...}
 
-value       = sustained Pallas classify throughput on the local TPU chip in
+value (headline, round 4+) = END-TO-END throughput of the real CLI over a
+              generated 1M x 100bp FASTQ, plain in/out -- the whole-tool
+              unit the reference's own benchmarks use (NAR paper runtimes).
+              Extra keys carry the gz-in/gz-out variant, per-stage wall
+              breakdown, host-CPU saturation, and the device-stage classify
+              rate below (the round-1..3 headline, kept for continuity).
+
+device_stage_reads_per_sec = sustained Pallas classify throughput on the local TPU chip in
               the production pipeline configuration: base-5 packed uint8
               token batches (3 tokens/byte, the native runtime's transfer
               format), host->device transfers pipelined 8 batches deep
@@ -164,6 +171,109 @@ def measure_tpu():
     return B / dt
 
 
+E2E_READS = int(os.environ.get("RD_BENCH_E2E_READS", 1_000_000))
+E2E_WARMUP_READS = max(E2E_READS // 5, 1024)
+
+
+def _gen_fastq(path, n, seed=7):
+    """Vectorized 100 bp FASTQ generator (~250 MB per 1M reads)."""
+    rng = np.random.default_rng(seed)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    qual = b"I" * T
+    CHUNK = 100_000
+    with open(path, "wb") as fh:
+        for base in range(0, n, CHUNK):
+            m = min(CHUNK, n - base)
+            seqs = lut[rng.integers(0, 4, (m, T), dtype=np.int8)]
+            parts = []
+            for i in range(m):
+                parts.append(b"@r%09d\n" % (base + i))
+                parts.append(seqs[i].tobytes())
+                parts.append(b"\n+\n")
+                parts.append(qual)
+                parts.append(b"\n")
+            fh.write(b"".join(parts))
+
+
+def _gzip_file(src, dst):
+    """Multi-member gzip via the engine's libdeflate codec (fast, valid gz)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ribodetector_tpu.io.gzfast import compress_member
+
+    with open(src, "rb") as fin, open(dst, "wb") as fout:
+        while True:
+            blk = fin.read(4 << 20)
+            if not blk:
+                return
+            fout.write(compress_member(blk))
+
+
+def _run_cli_timed(inp, out, rr):
+    """One real end-to-end CLI run (the production engine: native parser,
+    bucketed runtime, Pallas kernel, deflate pool). Returns
+    (reads_per_sec, stage_totals, cpu_util)."""
+    from types import SimpleNamespace
+
+    from ribodetector_tpu.config import DEFAULT_CONFIG, ConfigParser
+    from ribodetector_tpu.runtime import Predictor
+
+    args = SimpleNamespace(
+        len=T, input=[inp], output=[out], rrna=[rr], ensure="none",
+        threads=os.cpu_count() or 2, memory=32, chunk_size=None, log=None,
+        profile=True, trace_dir=None, resume=False, semantics=None,
+        kernel=None, precision=None, buckets=None, hosts=1, host_id=0,
+        coordinator=None, num_hosts=None, deviceid=None, config=None,
+        barrier_timeout=None,
+    )
+    p = Predictor(ConfigParser.from_json(DEFAULT_CONFIG), args)
+    p.load_model()
+    ct0, wall0 = time.process_time(), time.time()
+    p.detect()
+    wall = time.time() - wall0
+    cpu = time.process_time() - ct0
+    n_reads = p._final[0]
+    stages = {k: round(v, 2) for k, v in p.timer.totals.items()}
+    return n_reads / wall, stages, cpu / wall / (os.cpu_count() or 1)
+
+
+def measure_e2e():
+    """End-to-end reads/s through the REAL CLI over a generated FASTQ --
+    the reference's own headline unit (whole-tool throughput, not the
+    device stage). Plain-in/plain-out and gz-in/gz-out variants; a warmup
+    run populates the persistent compile cache so the timed runs measure
+    the pipeline, not XLA compilation."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rd_bench_e2e_")
+    try:
+        plain = os.path.join(d, "in.fq")
+        gz = os.path.join(d, "in.fq.gz")
+        _gen_fastq(plain, E2E_READS)
+        _gzip_file(plain, gz)
+        warm = os.path.join(d, "warm.fq")
+        _gen_fastq(warm, E2E_WARMUP_READS, seed=8)
+        _run_cli_timed(warm, os.path.join(d, "w.fq"), os.path.join(d, "wr.fq"))
+        r_plain, st_plain, cpu_plain = _run_cli_timed(
+            plain, os.path.join(d, "o.fq"), os.path.join(d, "r.fq")
+        )
+        r_gz, st_gz, cpu_gz = _run_cli_timed(
+            gz, os.path.join(d, "o.fq.gz"), os.path.join(d, "r.fq.gz")
+        )
+        return {
+            "e2e_plain_reads_per_sec": round(r_plain, 1),
+            "e2e_gz_reads_per_sec": round(r_gz, 1),
+            "e2e_reads": E2E_READS,
+            "host_cpus": os.cpu_count(),
+            "e2e_plain_cpu_util": round(cpu_plain, 3),
+            "e2e_gz_cpu_util": round(cpu_gz, 3),
+            "e2e_plain_stages_sec": st_plain,
+            "e2e_gz_stages_sec": st_gz,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def measure_torch_cpu_baseline():
     """Reference-equivalent CPU path: per-read dict one-hot + torch BiLSTM."""
     import torch
@@ -244,6 +354,10 @@ def _measure_main():
     print(json.dumps({"value": measure_tpu()}))
 
 
+def _measure_e2e_main():
+    print(json.dumps(measure_e2e()))
+
+
 def main():
     deadline = time.time() + TOTAL_BUDGET
     value = None
@@ -280,19 +394,53 @@ def main():
                           "unit": "reads/sec/chip", "vs_baseline": 0,
                           "error": last_err[:300]}))
         sys.exit(1)
+    # end-to-end measure (round-4 headline): the REAL CLI over a generated
+    # 1M-read FASTQ, plain and gz variants, with per-stage breakdown and
+    # host-CPU saturation -- the honest whole-tool number the reference's
+    # own benchmarks use. Device link already proven alive by the measure.
+    ok, msg = _child("--measure-e2e", 900)  # own slack past the main budget
+    if ok:
+        try:
+            e2e = json.loads(msg)
+        except ValueError:
+            e2e = {"e2e_error": msg[:200]}
+    else:
+        e2e = {"e2e_error": msg[:200]}
     try:
         cpu = measure_torch_cpu_baseline()
     except Exception:
         cpu = None
     gpu_est = cpu * GPU_OVER_CPU if cpu else None
+    e2e_val = e2e.get("e2e_plain_reads_per_sec")
+    if e2e_val:
+        headline = {
+            "metric": "END-TO-END CLI throughput, 1M x 100bp single-end "
+                      "reads, plain in/out, real tool run incl. parse + "
+                      "classify + write (gz variant, per-stage breakdown, "
+                      "host-CPU saturation and the device-stage classify "
+                      "rate are in the extra keys; baseline: RiboDetector-"
+                      "GPU estimate = 5x measured reference-equivalent "
+                      "torch-CPU, reference README.md:6 ratios)",
+            "value": e2e_val,
+            "unit": "reads/sec",
+            "vs_baseline": round(e2e_val / gpu_est, 2) if gpu_est else None,
+        }
+    else:  # e2e failed (tunnel flake): fall back to the device-stage number
+        headline = {
+            "metric": "sustained classify throughput incl. H2D, 100bp PE, "
+                      "argmax-parity-verified Pallas BiLSTM (e2e measure "
+                      "unavailable this run; baseline: RiboDetector-GPU "
+                      "estimate = 5x measured reference-equivalent "
+                      "torch-CPU, README.md:6 ratios)",
+            "value": round(value, 1),
+            "unit": "reads/sec/chip",
+            "vs_baseline": round(value / gpu_est, 2) if gpu_est else None,
+        }
     print(json.dumps({
-        "metric": "sustained classify throughput incl. H2D, 100bp PE, "
-                  "argmax-parity-verified Pallas BiLSTM "
-                  "(baseline: RiboDetector-GPU estimate = 5x measured "
-                  "reference-equivalent torch-CPU, README.md:6 ratios)",
-        "value": round(value, 1),
-        "unit": "reads/sec/chip",
-        "vs_baseline": round(value / gpu_est, 2) if gpu_est else None,
+        **headline,
+        "device_stage_reads_per_sec": round(value, 1),
+        "device_stage_vs_baseline": round(value / gpu_est, 2) if gpu_est else None,
+        **e2e,
         "baseline_gpu_estimate": round(gpu_est, 1) if gpu_est else None,
         "baseline_torch_cpu_measured": round(cpu, 1) if cpu else None,
         "vs_torch_cpu": round(value / cpu, 2) if cpu else None,
@@ -302,6 +450,8 @@ def main():
 if __name__ == "__main__":
     if "--probe" in sys.argv:
         _probe_main()
+    elif "--measure-e2e" in sys.argv:
+        _measure_e2e_main()
     elif "--measure" in sys.argv:
         _measure_main()
     else:
