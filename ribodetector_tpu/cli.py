@@ -60,7 +60,7 @@ none: give label based on the mean probability of read pair.
     args.add_argument("--trace-dir", default=None, type=str,
                       help="Capture a jax.profiler trace of the run into this directory (TensorBoard/Perfetto)")
     args.add_argument("--resume", action="store_true",
-                      help="Restartable streaming: track per-chunk completion in <output>.progress.json,\nwrite chunk part-files, and resume an interrupted run from the last completed chunk.\n(FASTQ native path)")
+                      help="Restartable streaming: after each completed chunk, record every output's\nbyte offset in <output>.progress.json; an interrupted run truncates the\noutputs to the last completed offset and continues from there.\n(native path)")
     args.add_argument("--semantics", default=None, type=str,
                       choices=["dense", "packed"],
                       help="Recurrence/gather semantics to reproduce: dense = reference CPU/ONNX path,\npacked = reference GPU/cuDNN PackedSequence path. (default: config value, dense)")

@@ -319,6 +319,12 @@ class MemberGzipWriter:
     def flush(self):
         self._fh.flush()
 
+    def tell(self):
+        """Compressed byte offset. Every write() / write_raw() ends exactly
+        at a gzip member boundary, so this offset is always a valid
+        truncation point (--resume byte-offset manifests)."""
+        return self._fh.tell()
+
     def close(self):
         try:
             self._fh.close()

@@ -761,6 +761,22 @@ class NativeRunner:
         self._parts_mode = False
         self._resume = None
         self._bucket_dispatcher = None
+        # live progress bar (visual parity with the reference's tqdm,
+        # detect.py:176-182): tqdm auto-disables on non-tty (disable=None),
+        # so logs/pipes keep the throttled text lines instead
+        self._pbar = None
+        try:
+            from tqdm import tqdm
+
+            self._pbar = tqdm(
+                total=None, unit=" reads", disable=None, smoothing=0.1,
+                mininterval=1.0,
+            )
+            if getattr(self._pbar, "disable", True):
+                self._pbar.close()
+                self._pbar = None
+        except Exception:  # pragma: no cover - tqdm baked into the image
+            self._pbar = None
 
     # -- writing -------------------------------------------------------
 
@@ -944,6 +960,8 @@ class NativeRunner:
         seg_pairs = zip(acc.segs, acc.segs2) if paired else zip(acc.segs)
         for segs in seg_pairs:
             data0, bo0, recs0, start0, cnt, row0 = segs[0]
+            if self._pbar is not None:
+                self._pbar.update(cnt)  # records finished + being written
             lab = labels[row0 : row0 + cnt]
             sel = {v: np.flatnonzero(lab == v) for v in ((0, 1, -1) if paired else (0, 1))}
             counts["norrna"] += len(sel[0])
@@ -1118,6 +1136,9 @@ class NativeRunner:
         while pending:
             self._finish_bucketed(*pending.popleft())
         self._writer.close()
+        if self._pbar is not None:
+            self._pbar.close()
+            self._pbar = None
         if resume:
             resume.merge(p)
         elif not parts:
@@ -1127,16 +1148,19 @@ class NativeRunner:
     # ------------------------------------------------------------------
 
     def _log_progress(self, num_read):
-        """Per-chunk progress. Chunked mode logs every chunk (the
-        reference's per-chunk "N sequences finished!" message); whole-file
-        mode -- where the reference shows tqdm (detect.py:176-182) but a
-        native run would otherwise be silent until the summary -- logs the
-        same message throttled to every >= 5 s, with reads/s."""
+        """Per-chunk progress. On a tty a live tqdm bar advances as records
+        finish (reference parity, detect.py:176-182). Chunked mode
+        additionally logs every chunk (the reference's per-chunk "N
+        sequences finished!" message); whole-file mode without a tty --
+        where a native run would otherwise be silent until the summary --
+        logs the same message throttled to every >= 5 s, with reads/s."""
         import time
 
         if self.p.chunk_size is not None:
             self.p._log_progress(num_read)
             return
+        if self._pbar is not None:
+            return  # the live bar carries count + rate
         now = time.monotonic()
         if now - self._last_log >= 5.0:
             rate = (num_read - self._last_read) / (now - self._last_log)
@@ -1171,16 +1195,39 @@ class NativeRunner:
                 self._bucket_dispatcher.shutdown(wait=False, cancel_futures=True)
 
 
+def output_groups(p):
+    """{group: [final output paths]} for a Predictor's run (norrna always;
+    rrna when requested; unclf for paired -e both, quirk #5)."""
+    groups = {"norrna": list(p.output)}
+    if p.rrna is not None:
+        groups["rrna"] = list(p.rrna)
+    if p.is_paired and p.args.ensure == "both":
+        groups["unclf"] = [f + ".unclassified.gz" for f in p.output]
+    return groups
+
+
 class ResumeState:
-    """Per-chunk completion manifest enabling restartable streaming.
+    """Byte-offset completion manifest enabling restartable streaming.
 
     The reference loses ALL work on a crash mid-run (SURVEY.md 5 "failure
-    detection": none). With --resume, every chunk's output goes to part
-    files (`<output>.parts/chunk_NNNNNN[.gz]`) and a manifest
-    (`<output[0]>.progress.json`) records completed chunks atomically; an
-    interrupted run restarts after the last completed chunk, and a finished
-    run concatenates the parts (gzip members concatenate losslessly) into
-    the final outputs and removes the manifest.
+    detection": none). With --resume, writes go STRAIGHT to the final
+    output files and a manifest (`<output[0]>.progress.json`) atomically
+    records, after each completed chunk, the byte offset every output had
+    reached; an interrupted run reopens the outputs, truncates each to its
+    last completed offset (discarding the partial chunk's tail), and skips
+    the completed records. gz outputs are safe to cut at any write
+    boundary because the native writer emits one gzip member per payload
+    (io/gzfast.MemberGzipWriter; concatenated members are a valid gzip
+    file).
+
+    This v3 design replaces the round-3 part-file layout, which wrote
+    every chunk to `<output>.parts/chunk_N` and concatenated them at the
+    end -- tripling the output IO (write parts, read back, write final):
+    measured 2.3x slower than a fresh run on a 4M-read A/B
+    (experiments/E2E_r04.md). Offsets make resume IO-identical to a
+    normal run plus one small manifest write per chunk. Manifest updates
+    run on the writer thread (ordered after the chunk's writes + flush),
+    so the pipeline keeps its full depth.
     """
 
     MANIFEST_SUFFIX = ".progress.json"
@@ -1192,29 +1239,14 @@ class ResumeState:
     def __init__(self, p):
         self.manifest_path = p.output[0] + self.MANIFEST_SUFFIX
         self.chunks_done = 0
-
-    # -- layout --------------------------------------------------------
-
-    @staticmethod
-    def _groups(p):
-        groups = {"norrna": list(p.output)}
-        if p.rrna is not None:
-            groups["rrna"] = list(p.rrna)
-        if p.is_paired and p.args.ensure == "both":
-            groups["unclf"] = [f + ".unclassified.gz" for f in p.output]
-        return groups
-
-    @staticmethod
-    def _part_path(final_path, ci):
-        suffix = ".gz" if final_path.endswith("gz") else ""
-        return os.path.join(final_path + ".parts", f"chunk_{ci:06d}{suffix}")
+        self._offsets = {}
+        self._fhs = None
 
     def _config_key(self, p):
         return {
-            # v2: chunks are exactly records_per_chunk records (record-exact
-            # cursors); v1 manifests counted adaptive byte-window chunks and
-            # cannot be resumed by this code
-            "v": 2,
+            # v3: byte-offset manifests over the final outputs; v1/v2
+            # (window-chunk / part-file) manifests cannot be resumed here
+            "v": 3,
             "inputs": list(p.input),
             "len": p.len,
             "ensure": p.args.ensure,
@@ -1235,12 +1267,14 @@ class ResumeState:
             if m.get("config") != self._config_key(p):
                 raise RuntimeError(
                     "--resume manifest {} was written by a different run "
-                    "configuration; remove it (and any .parts directories) "
-                    "to start fresh.".format(self.manifest_path)
+                    "configuration; remove it to start fresh.".format(
+                        self.manifest_path
+                    )
                 )
             self.chunks_done = int(m["chunks_done"])
             num_read = int(m["records_done"])
             counts.update(m["counts"])
+            self._offsets = dict(m.get("offsets", {}))
             p.logger.info(
                 "Resuming after {} completed chunks ({} records)".format(
                     self.chunks_done, num_read
@@ -1249,21 +1283,35 @@ class ResumeState:
         return num_read, counts
 
     def open_chunk(self, p, ci):
-        from ribodetector_tpu.io.writer import open_for_write_bytes
+        """The final output handles (opened once, truncated to the restored
+        offsets -- a partial chunk's tail from the interrupted run is
+        discarded). Every chunk shares them."""
+        if self._fhs is None:
+            from ribodetector_tpu.io.gzfast import MemberGzipWriter
 
-        fhs = {}
-        for group, files in self._groups(p).items():
-            handles = []
-            for f in files:
-                os.makedirs(f + ".parts", exist_ok=True)
-                handles.append(open_for_write_bytes(self._part_path(f, ci)))
-            fhs[group] = handles
-        return fhs
+            self._fhs = {}
+            for group, files in output_groups(p).items():
+                handles = []
+                for f in files:
+                    open(f, "ab").close()  # ensure it exists
+                    os.truncate(f, int(self._offsets.get(f, 0)))
+                    raw = open(f, "ab")
+                    handles.append(
+                        MemberGzipWriter(raw) if f.endswith("gz") else raw
+                    )
+                self._fhs[group] = handles
+        return self._fhs
 
     def complete_chunk(self, p, ci, fhs, num_read, counts):
-        for group in fhs.values():
-            for fh in group:
-                fh.close()
+        """Record chunk completion: flush every output, capture its byte
+        offset, and atomically replace the manifest. Runs on the writer
+        thread, strictly after the chunk's writes (see _Writer.call)."""
+        offsets = {}
+        groups = output_groups(p)
+        for group, handles in fhs.items():
+            for f, fh in zip(groups[group], handles):
+                fh.flush()
+                offsets[f] = fh.tell()
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
@@ -1272,6 +1320,7 @@ class ResumeState:
                     "chunks_done": ci + 1,
                     "records_done": num_read,
                     "counts": counts,
+                    "offsets": offsets,
                 },
                 fh,
             )
@@ -1279,10 +1328,62 @@ class ResumeState:
         self.chunks_done = ci + 1
 
     def merge(self, p):
-        """Concatenate part files into the final outputs and clean up."""
+        """Epilogue: close the outputs and drop the manifest (nothing to
+        concatenate in the offset design). Ensures outputs exist even for
+        an empty input."""
+        if self._fhs is None:
+            self.open_chunk(p, 0)
+        for group in self._fhs.values():
+            for fh in group:
+                fh.close()
+        self._fhs = None
+        if self.manifest_path and os.path.exists(self.manifest_path):
+            os.remove(self.manifest_path)
+
+
+class DistributedParts:
+    """Write layout for the coordinated multi-host mode (--coordinator).
+
+    Every host writes its owned logical chunks to per-chunk part files
+    (`<output>.parts/chunk_NNNNNN[.gz]`) in the SAME shared .parts
+    directories, so after all hosts pass the global barrier, host 0's
+    merge concatenates ALL hosts' parts in chunk order -- the round-robin
+    chunk assignment interleaves back into input order and the merged
+    outputs are byte-identical to a single-host run of the same command.
+    (Unlike single-host --resume, hosts cannot share one output file, so
+    the parts layout is load-bearing here.) The reference has no
+    multi-host counterpart (SURVEY.md 2 "Distributed backend": none);
+    this is the TPU-native design from SURVEY.md 5 (per-host shards +
+    DCN-merged counters, outputs concatenated in deterministic shard
+    order).
+    """
+
+    def __init__(self, p):
+        self.chunks_done = 0
+
+    @staticmethod
+    def _part_path(final_path, ci):
+        suffix = ".gz" if final_path.endswith("gz") else ""
+        return os.path.join(final_path + ".parts", f"chunk_{ci:06d}{suffix}")
+
+    def open_chunk(self, p, ci):
+        from ribodetector_tpu.io.writer import open_for_write_bytes
+
+        fhs = {}
+        for group, files in output_groups(p).items():
+            handles = []
+            for f in files:
+                os.makedirs(f + ".parts", exist_ok=True)
+                handles.append(open_for_write_bytes(self._part_path(f, ci)))
+            fhs[group] = handles
+        return fhs
+
+    def merge(self, p):
+        """Concatenate all hosts' part files into the final outputs (chunk
+        order) and clean up."""
         import shutil
 
-        for files in self._groups(p).values():
+        for files in output_groups(p).values():
             for f in files:
                 parts_dir = f + ".parts"
                 with open(f, "wb") as out:
@@ -1292,24 +1393,3 @@ class ResumeState:
                                 shutil.copyfileobj(part, out, 8 << 20)
                 if os.path.isdir(parts_dir):
                     shutil.rmtree(parts_dir)
-        if self.manifest_path and os.path.exists(self.manifest_path):
-            os.remove(self.manifest_path)
-
-
-class DistributedParts(ResumeState):
-    """Write layout for the coordinated multi-host mode (--coordinator).
-
-    Every host writes its owned logical chunks to per-chunk part files in
-    the SAME shared .parts directories (no manifest), so after all hosts
-    pass the global barrier, host 0's merge concatenates ALL hosts' parts
-    in chunk order -- the round-robin chunk assignment interleaves back
-    into input order and the merged outputs are byte-identical to a
-    single-host run of the same command. The reference has no multi-host
-    counterpart (SURVEY.md 2 "Distributed backend": none); this is the
-    TPU-native design from SURVEY.md 5 (per-host shards + DCN-merged
-    counters, outputs concatenated in deterministic shard order).
-    """
-
-    def __init__(self, p):
-        self.manifest_path = None
-        self.chunks_done = 0

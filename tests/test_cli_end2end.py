@@ -141,3 +141,42 @@ def test_paired_files_truncate_to_shorter(tmp_path, golden):
          "-m", "3", "--chunk_size", "1", "--kernel", "scan"],
     )
     assert len(read_headers(out1)) == len(read_headers(out2)) <= 3
+
+
+def test_native_progress_bar_on_tty(tmp_path):
+    """Visual parity with the reference's live tqdm bar (detect.py:176-182):
+    on a tty the native runner shows a live reads bar; without one (pytest,
+    pipes, logs) it stays silent and the throttled log lines take over."""
+    import pty
+    import subprocess
+    import sys
+
+    names = [f"t{i}" for i in range(400)]
+    seqs = ["ACGTTGCA" * 7 for _ in names]
+    inp = tmp_path / "in.fq"
+    write_fastq(inp, names, seqs)
+    argv = [sys.executable, "-m", "ribodetector_tpu", "-l", "56",
+            "-i", str(inp), "-o", str(tmp_path / "o.fq"),
+            "-m", "3", "--kernel", "scan"]
+    master, slave = pty.openpty()
+    env = {**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": "/root/repo"}
+    proc = subprocess.Popen(argv, stdout=slave, stderr=slave, cwd="/root/repo",
+                            env=env)
+    __import__("os").close(slave)
+    out = b""
+    try:
+        while True:
+            try:
+                chunk = __import__("os").read(master, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            out += chunk
+    finally:
+        __import__("os").close(master)
+    assert proc.wait(timeout=280) == 0, out[-2000:]
+    text = out.decode("utf-8", "replace")
+    assert " reads" in text and "\r" in text  # a live bar was drawn
+    assert "sequences finished" not in text  # bar replaces the log lines
