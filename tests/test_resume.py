@@ -185,3 +185,42 @@ def test_resume_completion_is_writer_ordered_not_a_barrier(tmp_path):
     # manifest completion order and record counts stay cumulative
     assert [c[0] for c in calls] == sorted(c[0] for c in calls)
     assert calls[-1][2] == 5000
+
+
+def test_fasta_resume_after_interruption(tmp_path, monkeypatch):
+    """--resume works on native FASTA inputs too: the offset manifest is
+    format-agnostic (FASTA records are re-emitted normalized text, but the
+    byte-gather writes and per-chunk offsets behave identically)."""
+    rng = np.random.default_rng(21)
+    inp = tmp_path / "in.fa"
+    with open(inp, "w") as fh:
+        for i in range(5000):
+            s = "".join(rng.choice(list("acgtACGT"), size=70))
+            fh.write(f">f{i} desc\n{s[:35]}\n{s[35:]}\n")  # multi-line
+
+    def fa_run(tag, extra=()):
+        cli_main(["-l", "70", "-i", str(inp), "-o", str(tmp_path / f"{tag}.fa"),
+                  "-r", str(tmp_path / f"{tag}r.fa"), "-m", "3",
+                  "--chunk_size", "1", *extra])
+
+    fa_run("ref")
+
+    from ribodetector_tpu.runtime.native_pipeline import ResumeState
+
+    orig = ResumeState.complete_chunk
+    calls = {"n": 0}
+
+    def crashing(self, p, ci, fhs, num_read, counts):
+        orig(self, p, ci, fhs, num_read, counts)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise KeyboardInterrupt("simulated crash")
+
+    monkeypatch.setattr(ResumeState, "complete_chunk", crashing)
+    with pytest.raises(KeyboardInterrupt):
+        fa_run("res", ["--resume"])
+    monkeypatch.setattr(ResumeState, "complete_chunk", orig)
+    fa_run("res", ["--resume"])
+    assert (tmp_path / "res.fa").read_bytes() == (tmp_path / "ref.fa").read_bytes()
+    assert (tmp_path / "resr.fa").read_bytes() == (tmp_path / "refr.fa").read_bytes()
+    assert not os.path.exists(str(tmp_path / "res.fa") + ".progress.json")
