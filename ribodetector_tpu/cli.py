@@ -79,6 +79,9 @@ high:  2-limb-split fp32 fused into one MXU launch per step + tanh-form
 fast:  one bf16 pass, fastest, ~0.2%% of borderline reads may flip label""")
     args.add_argument("--buckets", default=None, type=str,
                       help="Length-bucketed batching for variable-length reads: auto (64-step\npadded-T grid up to -l; each read runs the smallest fitting bucket with\nexact full-length semantics via a precomputed backward-carry init), off,\nor a comma list of bucket lengths. (default: auto)")
+    args.add_argument("--gz-level", default=None, type=int, choices=range(1, 13),
+                      metavar="{1..12}",
+                      help="libdeflate compression level for gz outputs on the native path\n(default 3 = the reference's zlib-level-5 ratio at ~3.5x the speed;\n1 = ~2x faster deflate at ~4%% worse ratio -- use when the write stage\nbottlenecks, e.g. many gz outputs on few cores).")
     args.add_argument("--hosts", default=1, type=int,
                       help="Shard the input stream over N cooperating hosts: each host classifies\nits round-robin share of the chunks and writes per-host output shards\n(<name>.hostNNN; gz shards concatenate into a valid gz file).\nRun once per host with a distinct --host-id. (default: 1)")
     args.add_argument("--host-id", default=0, type=int,

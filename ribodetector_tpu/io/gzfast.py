@@ -274,20 +274,23 @@ class RawInflater:
 
 class MemberGzipWriter:
     """Binary file-like gz writer: each write() is one gzip member
-    compressed with libdeflate level 3 (ratio parity with the reference's
-    zlib level 5 -- module docstring -- at ~3.5x the speed). Concatenated
-    members form a valid gzip file readable by gzip/zcat/the reference's
-    parser. NOT for many tiny writes (18+ bytes of member overhead each);
-    the runtime writes multi-KB..MB batch payloads.
+    compressed with libdeflate (default level 3: ratio parity with the
+    reference's zlib level 5 -- module docstring -- at ~3.5x the speed;
+    level 1 trades ~4% ratio for ~2x deflate speed when the write stage is
+    the bottleneck, --gz-level). Concatenated members form a valid gzip
+    file readable by gzip/zcat/the reference's parser. NOT for many tiny
+    writes (18+ bytes of member overhead each); the runtime writes
+    multi-KB..MB batch payloads.
     """
 
     LEVEL = 3  # libdeflate level with zlib-level-5 ratio parity
 
-    def __init__(self, fh):
+    def __init__(self, fh, level=None):
         self._fh = fh
+        self.level = self.LEVEL if level is None else int(level)
         lib = _libdeflate()
         self._comp = (
-            lib.libdeflate_alloc_compressor(self.LEVEL) if lib is not None else None
+            lib.libdeflate_alloc_compressor(self.level) if lib is not None else None
         )
         self._lib = lib
         self._obuf = bytearray()
@@ -297,7 +300,9 @@ class MemberGzipWriter:
         if n == 0:
             return 0
         if self._comp is None:  # pragma: no cover - libdeflate baked in
-            self._fh.write(zlib.compress(bytes(payload), 5, wbits=31))
+            self._fh.write(
+                zlib.compress(bytes(payload), min(max(self.level, 1), 9), wbits=31)
+            )
             return n
         bound = self._lib.libdeflate_gzip_compress_bound(self._comp, n)
         if len(self._obuf) < bound:

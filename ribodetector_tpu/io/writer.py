@@ -17,14 +17,16 @@ def open_for_write(read_file: str):
     return open(read_file, "w")
 
 
-def open_for_write_bytes(read_file: str):
+def open_for_write_bytes(read_file: str, gz_level=None):
     """Binary twin of open_for_write, used by the native byte-gather
     writers. gz outputs go through io.gzfast.MemberGzipWriter: libdeflate
-    level 3, which matches the reference's zlib level 5 compression ratio
-    at ~3.5x the speed (gzfast module docstring); each batch payload is an
-    independent gzip member, which concatenates into a valid gzip file."""
+    level 3 by default, which matches the reference's zlib level 5
+    compression ratio at ~3.5x the speed (gzfast module docstring); each
+    batch payload is an independent gzip member, which concatenates into a
+    valid gzip file. gz_level overrides the libdeflate level (--gz-level:
+    1 = fastest deflate when the write stage bottlenecks)."""
     if read_file.endswith("gz"):
         from ribodetector_tpu.io.gzfast import MemberGzipWriter
 
-        return MemberGzipWriter(open(read_file, "wb"))
+        return MemberGzipWriter(open(read_file, "wb"), level=gz_level)
     return open(read_file, "wb")

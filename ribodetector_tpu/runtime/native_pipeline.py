@@ -489,7 +489,8 @@ class _Writer:
     POOL = 4
     BLOCK = 2 << 20
 
-    def __init__(self, compress_threads=0):
+    def __init__(self, compress_threads=0, gz_level=None):
+        self._gz_level = gz_level
         self._pool = None
         if compress_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -578,14 +579,16 @@ class _Writer:
         ):
             view = payload if isinstance(payload, memoryview) else memoryview(payload)
             futs = [
-                self._pool.submit(self._compress_slice, view, o, o + self.BLOCK)
+                self._pool.submit(
+                    self._compress_slice, view, o, o + self.BLOCK, self._gz_level
+                )
                 for o in range(0, len(view), self.BLOCK)
             ]
             payload = _Compressed(futs, view)
         self._q.put((fh, payload, scratch))
 
     @staticmethod
-    def _compress_slice(view, start, end):
+    def _compress_slice(view, start, end, level=None):
         """Pool-task body: the sub-view is created AND released inside the
         task, so no export of the pooled scratch buffer can outlive the
         future's completion. (Submitting pre-made slices would let the
@@ -594,7 +597,9 @@ class _Writer:
         recycled scratch's next resize would hit BufferError.)"""
         sub = view[start:end]
         try:
-            return compress_member(sub)
+            if level is None:
+                return compress_member(sub)
+            return compress_member(sub, level=level)
         finally:
             sub.release()
 
@@ -1034,7 +1039,10 @@ class NativeRunner:
         else:
             fhs = None if parts else p._open_outputs(binary=True)
         self._counts = counts
-        self._writer = _Writer(compress_threads=self._compress_threads())
+        self._writer = _Writer(
+            compress_threads=self._compress_threads(),
+            gz_level=getattr(p, "gz_level", None),
+        )
         timer = p.timer
         curs = [
             _RecordCursor(_Prefetcher(iter(s), depth=self.PREFETCH))
@@ -1297,7 +1305,9 @@ class ResumeState:
                     os.truncate(f, int(self._offsets.get(f, 0)))
                     raw = open(f, "ab")
                     handles.append(
-                        MemberGzipWriter(raw) if f.endswith("gz") else raw
+                        MemberGzipWriter(raw, level=getattr(p, "gz_level", None))
+                        if f.endswith("gz")
+                        else raw
                     )
                 self._fhs[group] = handles
         return self._fhs
@@ -1374,7 +1384,12 @@ class DistributedParts:
             handles = []
             for f in files:
                 os.makedirs(f + ".parts", exist_ok=True)
-                handles.append(open_for_write_bytes(self._part_path(f, ci)))
+                handles.append(
+                    open_for_write_bytes(
+                        self._part_path(f, ci),
+                        gz_level=getattr(p, "gz_level", None),
+                    )
+                )
             fhs[group] = handles
         return fhs
 

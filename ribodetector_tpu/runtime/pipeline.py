@@ -486,6 +486,13 @@ class Predictor:
                 )
 
         self.is_paired = num_inputs == 2
+        # native gz output compression level (libdeflate; default 3 =
+        # reference zlib-5 ratio parity; 1 = fastest when the deflate
+        # stage bottlenecks -- measured as the paired-soak limiter on
+        # few-core hosts, experiments/E2E_r04.md)
+        self.gz_level = getattr(self.args, "gz_level", None) or self.config.get(
+            "runtime", {}
+        ).get("gz_level", None)
         self.batch_size = auto_batch_size(self.args.memory, self.len, self.is_paired)
         self.logger.info(
             "Choose batch size: {}{}{}{} based on the given RAM size {}GB and max read length {}".format(
@@ -556,7 +563,14 @@ class Predictor:
     def _open_outputs(self, binary=False):
         from ribodetector_tpu.io.writer import open_for_write_bytes
 
-        opener = open_for_write_bytes if binary else open_for_write
+        if binary:
+            gz_level = self.gz_level
+
+            def opener(f):
+                return open_for_write_bytes(f, gz_level=gz_level)
+
+        else:
+            opener = open_for_write
         fhs = {}
         if self.rrna is not None:
             self.logger.info(

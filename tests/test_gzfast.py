@@ -190,3 +190,35 @@ def test_writer_parallel_gz_preserves_order(tmp_path, rng):
     fh.close()
     with gzip.open(path, "rb") as gz:
         assert gz.read() == b"".join(payloads)
+
+
+def test_gz_level_flag_end_to_end(tmp_path):
+    """--gz-level changes the deflate level of native gz outputs: content
+    identical across levels, level-1 files larger (less compression), and
+    both remain valid multi-member gzip."""
+    import gzip
+
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    rng = np.random.default_rng(31)
+    inp = tmp_path / "in.fq"
+    with open(inp, "w") as fh:
+        for i in range(3000):
+            s = "".join(rng.choice(list("ACGT"), size=80))
+            fh.write(f"@g{i}\n{s}\n+\n{'I' * 80}\n")
+    for lvl in ("3", "1"):
+        cli_main(["-l", "80", "-i", str(inp),
+                  "-o", str(tmp_path / f"o{lvl}.fq.gz"),
+                  "-r", str(tmp_path / f"r{lvl}.fq.gz"),
+                  "-m", "3", "--chunk_size", "1", "--kernel", "scan",
+                  "--gz-level", lvl])
+    for stem in ("o", "r"):
+        c3 = gzip.open(tmp_path / f"{stem}3.fq.gz").read()
+        c1 = gzip.open(tmp_path / f"{stem}1.fq.gz").read()
+        assert c3 == c1
+    sz3 = (tmp_path / "o3.fq.gz").stat().st_size
+    sz1 = (tmp_path / "o1.fq.gz").stat().st_size
+    assert sz1 > sz3  # level 1 trades ratio for speed
