@@ -224,3 +224,35 @@ def test_fasta_resume_after_interruption(tmp_path, monkeypatch):
     assert (tmp_path / "res.fa").read_bytes() == (tmp_path / "ref.fa").read_bytes()
     assert (tmp_path / "resr.fa").read_bytes() == (tmp_path / "refr.fa").read_bytes()
     assert not os.path.exists(str(tmp_path / "res.fa") + ".progress.json")
+
+
+def test_resume_survives_repeated_crashes(tmp_path, monkeypatch):
+    """Crash -> resume -> crash again -> resume: the offset manifest of a
+    RESUMED run must itself be resumable (offsets keep absolute file
+    positions, so a second truncate-and-continue cycle composes)."""
+    inp = tmp_path / "in.fq"
+    write_fastq(inp, 9000, seed=7)  # 5 chunks at 2048 records
+    run(tmp_path, inp, tmp_path / "ref.fq", tmp_path / "refr.fq")
+
+    from ribodetector_tpu.runtime.native_pipeline import ResumeState
+
+    orig = ResumeState.complete_chunk
+
+    def make_crasher(crash_at_ci):
+        def crashing(self, p, ci, fhs, num_read, counts):
+            orig(self, p, ci, fhs, num_read, counts)
+            if ci == crash_at_ci:
+                raise KeyboardInterrupt("simulated crash")
+        return crashing
+
+    for crash_ci in (0, 2):
+        monkeypatch.setattr(ResumeState, "complete_chunk", make_crasher(crash_ci))
+        with pytest.raises(KeyboardInterrupt):
+            run(tmp_path, inp, tmp_path / "c.fq", tmp_path / "cr.fq", ["--resume"])
+        manifest = json.load(open(str(tmp_path / "c.fq") + ".progress.json"))
+        assert manifest["chunks_done"] == crash_ci + 1
+    monkeypatch.setattr(ResumeState, "complete_chunk", orig)
+    run(tmp_path, inp, tmp_path / "c.fq", tmp_path / "cr.fq", ["--resume"])
+    assert (tmp_path / "c.fq").read_bytes() == (tmp_path / "ref.fq").read_bytes()
+    assert (tmp_path / "cr.fq").read_bytes() == (tmp_path / "refr.fq").read_bytes()
+    assert not os.path.exists(str(tmp_path / "c.fq") + ".progress.json")
