@@ -175,3 +175,47 @@ def test_param_count_and_describe(ref_params_path):
     assert reference_param_count(params) == 137730
     assert param_count(params) == 136706
     assert "136706" in describe(params)
+
+
+def test_resume_empty_input_creates_empty_outputs(tmp_path):
+    """An empty input under --resume still produces (empty) output files
+    and leaves no manifest -- the run-loop never opens a chunk, so the
+    epilogue must create the outputs itself."""
+    import os
+
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    inp = tmp_path / "in.fq"
+    inp.write_text("")
+    out, rr = tmp_path / "o.fq", tmp_path / "r.fq.gz"
+    cli_main(["-l", "60", "-i", str(inp), "-o", str(out), "-r", str(rr),
+              "-m", "3", "--chunk_size", "1", "--resume"])
+    assert out.exists() and out.stat().st_size == 0
+    assert rr.exists() and rr.stat().st_size == 0
+    assert not os.path.exists(str(out) + ".progress.json")
+
+
+def test_profile_and_trace_dir_smoke(tmp_path, capfd):
+    """--profile logs a per-stage breakdown; --trace-dir captures a
+    jax.profiler trace (SURVEY.md 5: the reference has neither)."""
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    inp = tmp_path / "in.fq"
+    with open(inp, "w") as fh:
+        for i in range(300):
+            fh.write(f"@s{i}\n{'ACGT' * 15}\n+\n{'I' * 60}\n")
+    trace_dir = tmp_path / "trace"
+    cli_main(["-l", "60", "-i", str(inp), "-o", str(tmp_path / "o.fq"),
+              "-m", "3", "--chunk_size", "1", "--profile",
+              "--trace-dir", str(trace_dir)])
+    text = capfd.readouterr().err
+    assert "stage timings" in text and "infer_wait" in text
+    # the profiler wrote something under the trace dir
+    assert trace_dir.exists()
+    assert any(trace_dir.rglob("*")), "trace dir is empty"
