@@ -137,6 +137,8 @@ def compress_member(payload, level=3):
     comp = getattr(_comp_tls, "comp", None)
     if comp is None or getattr(_comp_tls, "level", None) != level:
         comp = lib.libdeflate_alloc_compressor(level)
+        if not comp:  # NULL: invalid level -- never pass NULL onward
+            raise ValueError(f"libdeflate rejected compression level {level}")
         _comp_tls.comp, _comp_tls.level = comp, level
     bound = lib.libdeflate_gzip_compress_bound(comp, n)
     obuf = bytearray(bound)
@@ -292,6 +294,10 @@ class MemberGzipWriter:
         self._comp = (
             lib.libdeflate_alloc_compressor(self.level) if lib is not None else None
         )
+        if lib is not None and not self._comp:
+            raise ValueError(
+                f"libdeflate rejected compression level {self.level}"
+            )
         self._lib = lib
         self._obuf = bytearray()
 

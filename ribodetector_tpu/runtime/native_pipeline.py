@@ -1020,6 +1020,7 @@ class NativeRunner:
         from ribodetector_tpu.runtime.buckets import route_records
 
         paired = p.is_paired
+        p._resume_buckets = list(buckets)  # part of the manifest config key
         resume = (
             ResumeState.maybe(p) if getattr(p.args, "resume", False) else None
         )
@@ -1036,6 +1037,11 @@ class NativeRunner:
         if resume:
             num_read, counts = resume.restore(p)
             fhs = None
+            if self._pbar is not None and num_read:
+                # the live bar resumes from the restored record count so its
+                # total agrees with the final summary
+                self._pbar.n = num_read
+                self._pbar.refresh()
         else:
             fhs = None if parts else p._open_outputs(binary=True)
         self._counts = counts
@@ -1253,12 +1259,24 @@ class ResumeState:
     def _config_key(self, p):
         return {
             # v3: byte-offset manifests over the final outputs; v1/v2
-            # (window-chunk / part-file) manifests cannot be resumed here
+            # (window-chunk / part-file) manifests cannot be resumed here.
+            # EVERY setting that affects labels or the output-file set is
+            # part of the key -- resuming with a changed --semantics /
+            # --precision / --kernel / --buckets would mix numeric regimes
+            # in one file, and a changed output list would truncate a file
+            # the interrupted run never tracked. (gz_level is deliberately
+            # absent: it only changes compressed bytes, not content.)
             "v": 3,
             "inputs": list(p.input),
+            "outputs": list(p.output),
+            "rrna": None if p.rrna is None else list(p.rrna),
             "len": p.len,
             "ensure": p.args.ensure,
             "records_per_chunk": records_per_chunk(p),
+            "semantics": p.semantics,
+            "precision": p.precision_mode,
+            "kernel": p.kernel,
+            "buckets": getattr(p, "_resume_buckets", None),
         }
 
     # -- lifecycle -----------------------------------------------------
@@ -1270,8 +1288,16 @@ class ResumeState:
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
         if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as fh:
-                m = json.load(fh)
+            try:
+                with open(self.manifest_path) as fh:
+                    m = json.load(fh)
+            except ValueError as e:
+                raise RuntimeError(
+                    "--resume manifest {} is corrupt (interrupted while "
+                    "being written?); remove it to start fresh.".format(
+                        self.manifest_path
+                    )
+                ) from e
             if m.get("config") != self._config_key(p):
                 raise RuntimeError(
                     "--resume manifest {} was written by a different run "
@@ -1334,6 +1360,8 @@ class ResumeState:
                 },
                 fh,
             )
+            fh.flush()
+            os.fsync(fh.fileno())  # the rename must never beat the data
         os.replace(tmp, self.manifest_path)
         self.chunks_done = ci + 1
 
@@ -1369,7 +1397,7 @@ class DistributedParts:
     """
 
     def __init__(self, p):
-        self.chunks_done = 0
+        del p  # stateless: the Predictor is passed to each method instead
 
     @staticmethod
     def _part_path(final_path, ci):

@@ -493,6 +493,15 @@ class Predictor:
         self.gz_level = getattr(self.args, "gz_level", None) or self.config.get(
             "runtime", {}
         ).get("gz_level", None)
+        if self.gz_level is not None:
+            # config-sourced values bypass the CLI's choices check, and an
+            # out-of-range level makes libdeflate_alloc_compressor return
+            # NULL (a crash in the parallel-compress path) -- validate here
+            self.gz_level = int(self.gz_level)
+            if not 1 <= self.gz_level <= 12:
+                raise RuntimeError(
+                    f"gz_level must be in [1, 12], got {self.gz_level}"
+                )
         self.batch_size = auto_batch_size(self.args.memory, self.len, self.is_paired)
         self.logger.info(
             "Choose batch size: {}{}{}{} based on the given RAM size {}GB and max read length {}".format(
@@ -637,55 +646,83 @@ class Predictor:
 
         Failure semantics: the collectives block until EVERY host arrives,
         so a host that died mid-run would hang the survivors forever. The
-        whole epilogue therefore runs under a watchdog (--barrier-timeout,
-        default 1 h): on timeout the survivor raises a clear error instead
-        of hanging; completed per-chunk parts stay on disk, so after fixing
-        the dead host the merge can be redone by rerunning the command."""
+        BARRIERS therefore run under a watchdog (--barrier-timeout, default
+        1 h): on timeout the survivor raises a clear error instead of
+        hanging; completed per-chunk parts stay on disk, so after fixing
+        the dead host the merge can be redone by rerunning the command.
+        Host 0's actual merge IO runs OUTSIDE the watchdog -- a
+        legitimately slow merge on a big shared filesystem must never be
+        aborted mid-copy (the other hosts wait for it at the final
+        barrier, whose timeout message says so)."""
         import threading
 
-        def body():
+        from ribodetector_tpu.runtime.native_pipeline import DistributedParts
+
+        timeout = getattr(self.args, "barrier_timeout", None) or 3600
+
+        def bounded(fn, what):
+            box = {}
+
+            def run_body():
+                try:
+                    box["ret"] = fn()
+                except BaseException as e:  # surfaced on the main thread
+                    box["exc"] = e
+
+            t = threading.Thread(target=run_body, daemon=True)
+            t.start()
+            t.join(timeout)
+            if t.is_alive():
+                raise RuntimeError(
+                    "Coordinated run: {} timed out after {}s -- {} (this "
+                    "host processed its own chunks successfully; their part "
+                    "files remain in the <output>.parts/ directories). "
+                    "Restart the failed host's command to let the group "
+                    "complete, or raise --barrier-timeout.".format(
+                        what[0], timeout, what[1]
+                    )
+                )
+            if "exc" in box:
+                raise box["exc"]
+            return box.get("ret")
+
+        def pre_merge():
             from jax.experimental import multihost_utils
 
             from ribodetector_tpu.parallel.sharded import merge_counts
-            from ribodetector_tpu.runtime.native_pipeline import DistributedParts
 
             num_read, counts = getattr(
                 self, "_final", (0, {"norrna": 0, "rrna": 0, "unclf": 0})
             )
             merged = merge_counts({"num_read": num_read, **counts})
             multihost_utils.sync_global_devices("ribodetector_tpu parts written")
-            if self.host_id == 0:
-                DistributedParts(self).merge(self)
-                self.logger.info(
-                    "Merged outputs from {} hosts:".format(self.hosts)
-                )
-                self._log_summary(merged.pop("num_read"), merged)
-            # no host may exit while host 0 is still reading its part files
+            return merged
+
+        merged = bounded(
+            pre_merge,
+            ("end-of-run barrier", "a cooperating host likely died mid-run"),
+        )
+        if self.host_id == 0:
+            # untimed: merge IO is legitimate work, not a liveness signal
+            DistributedParts(self).merge(self)
+            self.logger.info("Merged outputs from {} hosts:".format(self.hosts))
+            self._log_summary(merged.pop("num_read"), merged)
+
+        def post_merge():
+            from jax.experimental import multihost_utils
+
+            # no host may exit while host 0 is still reading part files
             multihost_utils.sync_global_devices("ribodetector_tpu merge done")
 
-        timeout = getattr(self.args, "barrier_timeout", None) or 3600
-        box = {}
-
-        def run_body():
-            try:
-                body()
-            except BaseException as e:  # surfaced on the main thread
-                box["exc"] = e
-
-        t = threading.Thread(target=run_body, daemon=True)
-        t.start()
-        t.join(timeout)
-        if t.is_alive():
-            raise RuntimeError(
-                "Coordinated run: end-of-run barrier timed out after {}s -- "
-                "a cooperating host likely died mid-run (this host processed "
-                "its own chunks successfully; their part files remain in the "
-                "<output>.parts/ directories). Restart the failed host's "
-                "command to let the group complete, or raise "
-                "--barrier-timeout.".format(timeout)
-            )
-        if "exc" in box:
-            raise box["exc"]
+        bounded(
+            post_merge,
+            (
+                "final merge barrier",
+                "host 0's merge is still running or host 0 died -- check "
+                "host 0's log; if its merge legitimately needs longer, "
+                "raise --barrier-timeout on every host",
+            ),
+        )
 
     def _log_summary(self, num_seqs, counts):
         self._final = (num_seqs, dict(counts))

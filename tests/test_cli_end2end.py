@@ -147,10 +147,12 @@ def test_native_progress_bar_on_tty(tmp_path):
     """Visual parity with the reference's live tqdm bar (detect.py:176-182):
     on a tty the native runner shows a live reads bar; without one (pytest,
     pipes, logs) it stays silent and the throttled log lines take over."""
+    import os
     import pty
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     names = [f"t{i}" for i in range(400)]
     seqs = ["ACGTTGCA" * 7 for _ in names]
     inp = tmp_path / "in.fq"
@@ -159,23 +161,22 @@ def test_native_progress_bar_on_tty(tmp_path):
             "-i", str(inp), "-o", str(tmp_path / "o.fq"),
             "-m", "3", "--kernel", "scan"]
     master, slave = pty.openpty()
-    env = {**__import__("os").environ, "JAX_PLATFORMS": "cpu",
-           "PYTHONPATH": "/root/repo"}
-    proc = subprocess.Popen(argv, stdout=slave, stderr=slave, cwd="/root/repo",
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+    proc = subprocess.Popen(argv, stdout=slave, stderr=slave, cwd=repo,
                             env=env)
-    __import__("os").close(slave)
+    os.close(slave)
     out = b""
     try:
         while True:
             try:
-                chunk = __import__("os").read(master, 65536)
+                chunk = os.read(master, 65536)
             except OSError:
                 break
             if not chunk:
                 break
             out += chunk
     finally:
-        __import__("os").close(master)
+        os.close(master)
     assert proc.wait(timeout=280) == 0, out[-2000:]
     text = out.decode("utf-8", "replace")
     assert " reads" in text and "\r" in text  # a live bar was drawn

@@ -222,3 +222,39 @@ def test_gz_level_flag_end_to_end(tmp_path):
     sz3 = (tmp_path / "o3.fq.gz").stat().st_size
     sz1 = (tmp_path / "o1.fq.gz").stat().st_size
     assert sz1 > sz3  # level 1 trades ratio for speed
+
+
+def test_config_gz_level_out_of_range_rejected(tmp_path):
+    """runtime.gz_level from the config bypasses the CLI choices check; the
+    Predictor must validate it (an invalid level would make libdeflate
+    return a NULL compressor -- a crash in the parallel-compress path)."""
+    from types import SimpleNamespace
+
+    from ribodetector_tpu.config import ConfigParser, DEFAULT_CONFIG
+    from ribodetector_tpu.runtime import Predictor
+
+    cfg = ConfigParser.from_json(DEFAULT_CONFIG)
+    cfg.config.setdefault("runtime", {})["gz_level"] = 13
+    inp = tmp_path / "in.fq"
+    inp.write_text("@a\nACGT\n+\nIIII\n")
+    args = SimpleNamespace(
+        len=60, input=[str(inp)], output=[str(tmp_path / "o.fq")], rrna=None,
+        ensure="none", threads=1, memory=3, chunk_size=1, log=None,
+        profile=False, trace_dir=None, resume=False, semantics=None,
+        kernel="scan", precision=None, buckets=None, hosts=1, host_id=0,
+        coordinator=None, num_hosts=None, deviceid=None, config=None,
+        gz_level=None, barrier_timeout=None,
+    )
+    p = Predictor(cfg, args)
+    p.load_model()
+    with pytest.raises(RuntimeError, match="gz_level"):
+        p.detect()
+
+
+def test_member_writer_rejects_null_compressor_level(tmp_path):
+    from ribodetector_tpu.io.gzfast import MemberGzipWriter, _libdeflate
+
+    if _libdeflate() is None:
+        pytest.skip("libdeflate unavailable")
+    with pytest.raises(ValueError, match="rejected compression level"):
+        MemberGzipWriter(open(tmp_path / "x.gz", "wb"), level=99)

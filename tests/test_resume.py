@@ -256,3 +256,39 @@ def test_resume_survives_repeated_crashes(tmp_path, monkeypatch):
     assert (tmp_path / "c.fq").read_bytes() == (tmp_path / "ref.fq").read_bytes()
     assert (tmp_path / "cr.fq").read_bytes() == (tmp_path / "refr.fq").read_bytes()
     assert not os.path.exists(str(tmp_path / "c.fq") + ".progress.json")
+
+
+def test_resume_rejects_changed_label_settings(tmp_path, monkeypatch):
+    """Resuming with a different --semantics (or any label-affecting
+    setting) must be refused -- mixing numeric regimes in one output file
+    would be silent corruption (round-4 review finding)."""
+    inp = tmp_path / "in.fq"
+    write_fastq(inp, 5000, seed=13)
+
+    from ribodetector_tpu.runtime.native_pipeline import ResumeState
+
+    orig = ResumeState.complete_chunk
+    calls = {"n": 0}
+
+    def crashing(self, p, ci, fhs, num_read, counts):
+        orig(self, p, ci, fhs, num_read, counts)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise KeyboardInterrupt("simulated crash")
+
+    monkeypatch.setattr(ResumeState, "complete_chunk", crashing)
+    with pytest.raises(KeyboardInterrupt):
+        run(tmp_path, inp, tmp_path / "e.fq", tmp_path / "er.fq",
+            ["--resume", "--semantics", "dense"])
+    monkeypatch.setattr(ResumeState, "complete_chunk", orig)
+    with pytest.raises(RuntimeError, match="different run configuration"):
+        run(tmp_path, inp, tmp_path / "e.fq", tmp_path / "er.fq",
+            ["--resume", "--semantics", "packed"])
+    # and with the rrna output dropped (a file-set change)
+    with pytest.raises(RuntimeError, match="different run configuration"):
+        cli_main(["-l", "60", "-i", str(inp), "-o", str(tmp_path / "e.fq"),
+                  "-m", "3", "--chunk_size", "1", "--resume",
+                  "--semantics", "dense"])
+    # unchanged settings still resume fine
+    run(tmp_path, inp, tmp_path / "e.fq", tmp_path / "er.fq",
+        ["--resume", "--semantics", "dense"])
