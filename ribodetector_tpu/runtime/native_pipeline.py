@@ -751,6 +751,13 @@ class NativeRunner:
         self.p = predictor
         self._hosts = getattr(predictor, "hosts", 1)
         self._host_id = getattr(predictor, "host_id", 0)
+        # production tuning knobs (config runtime.depth / runtime.dispatchers):
+        # pipeline depth and H2D feeder-thread count. Defaults are the
+        # measured sweet spots for this host; bigger TPU-VM hosts may profit
+        # from more feeders (every feeder burns a core on transfer marshal).
+        rt = predictor.config.get("runtime", {})
+        self.DEPTH = int(rt.get("depth", self.DEPTH))
+        self._dispatchers_cfg = rt.get("dispatchers", None)
         # Device batch: the reference's -m formula (quirk #9) guards GPU RAM
         # on its hardware; on TPU a [131072, len] token batch is ~13 MB of
         # HBM, so the native path lifts the device batch to cut per-call
@@ -1065,9 +1072,10 @@ class NativeRunner:
         # (experiments/kbench7.py: 81.8 -> 62.0 ms/batch).
         from concurrent.futures import ThreadPoolExecutor
 
-        self._bucket_dispatcher = ThreadPoolExecutor(
-            max_workers=2 if len(buckets) == 1 else 4
-        )
+        workers = self._dispatchers_cfg
+        if workers is None:
+            workers = 2 if len(buckets) == 1 else 4
+        self._bucket_dispatcher = ThreadPoolExecutor(max_workers=int(workers))
         from collections import Counter
 
         self._pinned = (Counter(), Counter())
