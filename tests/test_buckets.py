@@ -207,3 +207,39 @@ def test_bucketed_dirty_crlf_records(tmp_path, rng, torch_reference):
     assert read_headers(rrna) == [f"@{n}" for n, l in zip(names, labels) if l == 1]
     # reference text semantics: lines rstripped (no \r in output)
     assert b"\r" not in out.read_bytes() + rrna.read_bytes()
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_bucketed_vs_unbucketed_differential_fuzz(tmp_path, seed):
+    """Randomized differential invariant: for arbitrary read soups (mixed
+    lengths 1..350, lowercase, N-runs, all-N reads, empty-adjacent
+    lengths), `--buckets auto` must be byte-identical to `--buckets off`
+    under the exact fp32 scan kernel at -l 300 (5 buckets engaged)."""
+    from ribodetector_tpu.cli import main as cli_main
+
+    rng = np.random.default_rng(seed)
+    inp = tmp_path / "in.fq"
+    alphabet = list("ACGTacgtN")
+    with open(inp, "w") as fh:
+        for i in range(700):
+            n = int(rng.integers(1, 350))
+            if i % 37 == 0:
+                s = "N" * n  # all-pad read: T-1 gather quirk, full bucket
+            else:
+                s = "".join(rng.choice(alphabet, size=n))
+            fh.write(f"@f{i}\n{s}\n+\n{'I' * n}\n")
+
+    outs = {}
+    for mode in ("auto", "off"):
+        cli_main(["-l", "300", "-i", str(inp),
+                  "-o", str(tmp_path / f"o_{mode}.fq"),
+                  "-r", str(tmp_path / f"r_{mode}.fq"),
+                  "-m", "3", "--chunk_size", "1", "--kernel", "scan",
+                  "--buckets", mode])
+        outs[mode] = (
+            (tmp_path / f"o_{mode}.fq").read_bytes(),
+            (tmp_path / f"r_{mode}.fq").read_bytes(),
+        )
+    assert outs["auto"] == outs["off"]
+    # sanity: both classes non-trivially populated
+    assert outs["auto"][0] and outs["auto"][1]
