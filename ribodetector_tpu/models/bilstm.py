@@ -174,7 +174,7 @@ def zero_prefix_state(
     cd = compute_dtype
     gates_x = params.b_b.astype(cd)[None, :]  # zero input row: bias only
     w_hh_b = params.w_hh_b.astype(cd)
-    h0 = jnp.zeros((1, HIDDEN), cd)
+    h0 = jnp.zeros((1, params.w_hh_b.shape[0]), cd)
 
     def step(carry, _):
         h, c = carry
@@ -238,8 +238,10 @@ def bilstm_logits(
     # Input projection tables with bias folded in: row k<4 = w_ih[k] + b,
     # row 4 (zero input row) = b alone. One gather replaces the [B,4]x[4,512]
     # matmul each step because the input is one-hot by construction.
-    e_f = jnp.concatenate([params.w_ih_f, jnp.zeros((1, GATES), params.w_ih_f.dtype)]) + params.b_f
-    e_b = jnp.concatenate([params.w_ih_b, jnp.zeros((1, GATES), params.w_ih_b.dtype)]) + params.b_b
+    gates = params.b_f.shape[0]  # 4*hidden (shape-generic: custom widths)
+    hidden = params.w_hh_f.shape[0]
+    e_f = jnp.concatenate([params.w_ih_f, jnp.zeros((1, gates), params.w_ih_f.dtype)]) + params.b_f
+    e_b = jnp.concatenate([params.w_ih_b, jnp.zeros((1, gates), params.w_ih_b.dtype)]) + params.b_b
     e_f = e_f.astype(cd)
     e_b = e_b.astype(cd)
     w_hh_f = params.w_hh_f.astype(cd)
@@ -251,10 +253,10 @@ def bilstm_logits(
     else:
         gather_idx = dense_gather_index(tokens)
 
-    h0 = jnp.zeros((B, HIDDEN), cd)
+    h0 = jnp.zeros((B, hidden), cd)
     if bwd_init is not None:
-        hb0 = jnp.broadcast_to(bwd_init[0].astype(cd), (B, HIDDEN))
-        cb0 = jnp.broadcast_to(bwd_init[1].astype(cd), (B, HIDDEN))
+        hb0 = jnp.broadcast_to(bwd_init[0].astype(cd), (B, hidden))
+        cb0 = jnp.broadcast_to(bwd_init[1].astype(cd), (B, hidden))
     else:
         hb0, cb0 = h0, h0
     zeros6 = (h0, h0, hb0, cb0, h0, h0)

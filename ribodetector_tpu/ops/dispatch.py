@@ -65,9 +65,19 @@ def classify_logits(
     length-bucketing backward-carry init (models/bilstm.py
     zero_prefix_state).
     """
+    # the Pallas kernel is specialized to the reference architecture
+    # (hidden 128 = one TPU lane register); custom-width checkpoints
+    # (config arch args / retrained models) run the shape-generic scan
+    hidden = params.w_hh_f.shape[0]
     if kernel == "auto":
-        kernel = "pallas" if _on_tpu() else "scan"
+        kernel = "pallas" if _on_tpu() and hidden == 128 else "scan"
     if kernel == "pallas":
+        if hidden != 128:
+            raise ValueError(
+                f"kernel='pallas' supports the reference hidden width 128 "
+                f"only (got {hidden}); use kernel='scan' (or 'auto', which "
+                "selects it automatically) for custom-width checkpoints"
+            )
         from ribodetector_tpu.ops.lstm_pallas import bilstm_logits_pallas
 
         return bilstm_logits_pallas(

@@ -354,6 +354,12 @@ def bilstm_logits_pallas(
     faster than "x6"), "x1" (one bf16 pass, fastest), or "auto": x3 for
     float32 compute (the production default), x1 for bfloat16.
     """
+    if params.w_hh_f.shape[0] != HIDDEN:
+        raise ValueError(
+            f"kernel='pallas' supports the reference hidden width {HIDDEN} "
+            f"only (got {params.w_hh_f.shape[0]}); use kernel='scan' (or "
+            "'auto') for custom-width checkpoints"
+        )
     packed = semantics == "packed"
     if packed and lengths is None:
         raise ValueError("packed semantics requires lengths")

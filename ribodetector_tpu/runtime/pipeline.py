@@ -180,10 +180,12 @@ class Predictor:
         from ribodetector_tpu.ops.dispatch import _on_tpu
 
         kernel = self.kernel
+        hidden = self.params.w_hh_f.shape[0]
         if kernel == "auto":
-            kernel = "pallas" if _on_tpu() else "scan"
+            kernel = "pallas" if _on_tpu() and hidden == 128 else "scan"
         if (
             kernel != "pallas"
+            or hidden != 128  # custom widths run scan; pallas would refuse
             or self.precision_mode != "high"
             or self.compute_dtype != "float32"
             or self.config.get("runtime", {}).get("parity_probe", True) is False

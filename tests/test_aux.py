@@ -219,3 +219,65 @@ def test_profile_and_trace_dir_smoke(tmp_path, capfd):
     # the profiler wrote something under the trace dir
     assert trace_dir.exists()
     assert any(trace_dir.rglob("*")), "trace dir is empty"
+
+
+def test_writer_disk_error_aborts_cleanly(tmp_path, monkeypatch):
+    """A disk-write failure mid-run must abort the run with the original
+    error -- no deadlock in the writer's backpressure loop (scratch buffers
+    are recycled even on the error path) and no silent truncation."""
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+    from ribodetector_tpu.io import writer as writer_mod
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    inp = tmp_path / "in.fq"
+    with open(inp, "w") as fh:
+        for i in range(5000):
+            fh.write(f"@w{i}\n{'ACGT' * 15}\n+\n{'I' * 60}\n")
+
+    class FailingAfter:
+        """Binary file wrapper that raises after N successful writes."""
+
+        def __init__(self, fh, n):
+            self._fh, self._left = fh, n
+
+        def write(self, payload):
+            if self._left <= 0:
+                raise OSError(28, "No space left on device (simulated)")
+            self._left -= 1
+            return self._fh.write(payload)
+
+        def flush(self):
+            self._fh.flush()
+
+        def tell(self):
+            return self._fh.tell()
+
+        def close(self):
+            self._fh.close()
+
+    orig = writer_mod.open_for_write_bytes
+
+    def failing_open(path, gz_level=None):
+        fh = orig(path, gz_level=gz_level)
+        if path.endswith("o.fq"):
+            return FailingAfter(fh, 1)
+        return fh
+
+    monkeypatch.setattr(writer_mod, "open_for_write_bytes", failing_open)
+    import signal
+
+    def alarm(*_):  # the real failure mode this guards: a hang
+        raise AssertionError("run deadlocked after write error")
+
+    old = signal.signal(signal.SIGALRM, alarm)
+    signal.alarm(120)
+    try:
+        with pytest.raises(OSError, match="No space left"):
+            cli_main(["-l", "60", "-i", str(inp), "-o", str(tmp_path / "o.fq"),
+                      "-r", str(tmp_path / "r.fq"), "-m", "3",
+                      "--chunk_size", "1", "--kernel", "scan"])
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

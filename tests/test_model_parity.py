@@ -84,3 +84,53 @@ def test_bfloat16_mode_agrees_at_argmax(params, batch):
     )
     match = (np.asarray(f32).argmax(1) == np.asarray(bf16).argmax(1)).mean()
     assert match > 0.95
+
+
+@pytest.mark.parametrize("hidden", [64, 256])
+def test_custom_hidden_width_scan_matches_torch(rng, hidden):
+    """The engine accepts custom-width checkpoints (the reference's config
+    arch args allow hidden_size != 128 for retrained models): the scan
+    path is shape-generic and must match a torch nn.LSTM of that width;
+    kernel='auto' must route such params to scan, and kernel='pallas' must
+    refuse them with a clear error."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ribodetector_tpu.models.bilstm import init_params
+    from ribodetector_tpu.models.convert import arrays_to_state_dict
+    from ribodetector_tpu.ops import classify_logits
+
+    params = init_params(jax.random.PRNGKey(1), hidden=hidden)
+    model = nn.LSTM(4, hidden, 1, batch_first=True, bidirectional=True)
+    head = nn.Linear(2 * hidden, 2)
+    sd = arrays_to_state_dict(params)
+    model.load_state_dict(
+        {k[4:]: torch.from_numpy(v) for k, v in sd.items() if k.startswith("rnn.")}
+    )
+    head.load_state_dict(
+        {k[4:]: torch.from_numpy(v) for k, v in sd.items() if k.startswith("out.")}
+    )
+    model.eval(), head.eval()
+
+    from ribodetector_tpu.encode import encode_batch, tokens_to_onehot_np
+    from tests.conftest import random_reads
+
+    seqs = random_reads(rng, 24, lmin=10, lmax=50)
+    tokens, lengths = encode_batch(seqs, 50)
+    x = torch.from_numpy(tokens_to_onehot_np(tokens))
+    with torch.no_grad():
+        r_out, _ = model(x)
+        g = x.size(1) - 1 - x.sum(2).flip(1).argmax(1)
+        want = head(r_out[torch.arange(x.size(0)), g, :]).numpy()
+
+    got = np.asarray(
+        classify_logits(params, jnp.asarray(tokens), semantics="dense",
+                        kernel="auto")
+    )
+    np.testing.assert_allclose(got, want, atol=3e-5)
+    with pytest.raises(ValueError, match="hidden width 128"):
+        classify_logits(params, jnp.asarray(tokens), semantics="dense",
+                        kernel="pallas")
