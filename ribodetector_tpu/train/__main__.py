@@ -38,6 +38,9 @@ def build_arg_parser():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--semantics", choices=["dense", "packed"], default="dense")
+    ap.add_argument("--hidden", type=int, default=128,
+                    help="LSTM hidden width (default 128, the reference arch; "
+                    "custom widths run the engine's scan kernel)")
     ap.add_argument("--init", default=None,
                     help=".npz to fine-tune from (default: random init)")
     ap.add_argument("--seed", type=int, default=0)
@@ -98,7 +101,7 @@ def main(argv=None):
         params = load_params(args.init)
         print(f"fine-tuning from {args.init}")
     else:
-        params = init_params(jax.random.PRNGKey(args.seed))
+        params = init_params(jax.random.PRNGKey(args.seed), hidden=args.hidden)
 
     mesh = None
     batch = args.batch

@@ -204,3 +204,62 @@ def test_train_cli_end_to_end(tmp_path):
         jax.jit(lambda t: bilstm_logits(params, t, semantics="dense"))(tokens)
     ).argmax(1)
     assert (pred == np.asarray(labels)).mean() > 0.8
+
+
+def test_train_cli_custom_hidden_width(tmp_path):
+    """--hidden 32 trains a custom-width model whose checkpoint loads into
+    the engine's (shape-generic) scan forward and beats chance -- the
+    reference's config arch args promise exactly this flexibility."""
+    import numpy as np
+
+    from ribodetector_tpu.train.__main__ import main as train_main
+
+    rng = np.random.default_rng(11)
+    motif = "GGAACCTTGGAACC"
+    bases = np.array(list("ACGT"))
+
+    def mkfile(path, n, with_motif):
+        with open(path, "w") as fh:
+            for i in range(n):
+                L = int(rng.integers(20, 33))
+                s = "".join(rng.choice(bases, size=L))
+                if with_motif:
+                    pos = int(rng.integers(0, L - len(motif)))
+                    s = s[:pos] + motif + s[pos + len(motif):]
+                fh.write(f">h{i}\n{s}\n")
+
+    mkfile(tmp_path / "rrna.fa", 300, True)
+    mkfile(tmp_path / "norrna.fa", 300, False)
+    out = tmp_path / "ckpt32"
+    train_main([
+        "--rrna", str(tmp_path / "rrna.fa"),
+        "--norrna", str(tmp_path / "norrna.fa"),
+        "-l", "32", "--epochs", "8", "--batch", "64", "--lr", "1e-2",
+        "--hidden", "32", "--out", str(out),
+    ])
+
+    import jax
+
+    from ribodetector_tpu.encode import encode_batch
+    from ribodetector_tpu.models.bilstm import load_params
+    from ribodetector_tpu.ops import classify_logits
+
+    params = load_params(str(out / "best.npz"))
+    assert params.w_hh_f.shape == (32, 128)  # genuinely hidden=32
+    seqs, labels = [], []
+    for i in range(100):
+        L = int(rng.integers(20, 33))
+        s = "".join(rng.choice(bases, size=L))
+        y = i % 2
+        if y:
+            pos = int(rng.integers(0, L - len(motif)))
+            s = s[:pos] + motif + s[pos + len(motif):]
+        seqs.append(s)
+        labels.append(y)
+    tokens, _ = encode_batch(seqs, 32)
+    pred = np.asarray(
+        jax.jit(
+            lambda t: classify_logits(params, t, semantics="dense", kernel="auto")
+        )(tokens)
+    ).argmax(1)
+    assert (pred == np.asarray(labels)).mean() > 0.8
