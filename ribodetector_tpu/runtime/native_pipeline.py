@@ -151,7 +151,15 @@ class FastqChunkStream:
                 if not raw:
                     self._fh.close()
                     out = inf.flush()
-                    if out:
+                    if inf.mid_stream:
+                        # a member body/trailer was cut off: surface the
+                        # same hard error the reference's gzip path raises
+                        # instead of silently classifying a partial file
+                        raise EOFError(
+                            "Compressed file ended before the "
+                            "end-of-stream marker was reached"
+                        )
+                    if out:  # pragma: no cover - empty when not mid_stream
                         q.put(out)
                     q.put(None)
                     return

@@ -258,3 +258,39 @@ def test_member_writer_rejects_null_compressor_level(tmp_path):
         pytest.skip("libdeflate unavailable")
     with pytest.raises(ValueError, match="rejected compression level"):
         MemberGzipWriter(open(tmp_path / "x.gz", "wb"), level=99)
+
+
+def test_truncated_gz_input_fails_cleanly(tmp_path):
+    """A gz input truncated mid-stream must abort the run with a clear
+    error (propagated from the inflate thread), never hang or silently
+    emit a partial partition."""
+    import gzip
+    import signal
+
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    rng = np.random.default_rng(41)
+    plain = b"".join(
+        b"@t%d\n%s\n+\n%s\n"
+        % (i, rng.choice(np.frombuffer(b"ACGT", np.uint8), 70).tobytes(), b"I" * 70)
+        for i in range(5000)
+    )
+    gz = gzip.compress(plain)
+    (tmp_path / "in.fq.gz").write_bytes(gz[: len(gz) // 2])  # truncated
+
+    def alarm(*_):
+        raise AssertionError("truncated-gz run hung")
+
+    old = signal.signal(signal.SIGALRM, alarm)
+    signal.alarm(120)
+    try:
+        with pytest.raises(EOFError, match="end-of-stream marker"):
+            cli_main(["-l", "70", "-i", str(tmp_path / "in.fq.gz"),
+                      "-o", str(tmp_path / "o.fq"), "-m", "3",
+                      "--chunk_size", "1", "--kernel", "scan"])
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
