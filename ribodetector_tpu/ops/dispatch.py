@@ -9,7 +9,7 @@ kernel="auto" uses Pallas on TPU backends and scan elsewhere; "scan" or
 import jax
 import jax.numpy as jnp
 
-from ribodetector_tpu.models.bilstm import bilstm_logits
+from ribodetector_tpu.models.bilstm import HIDDEN, bilstm_logits
 
 
 def _on_tpu() -> bool:
@@ -67,17 +67,13 @@ def classify_logits(
     """
     # the Pallas kernel is specialized to the reference architecture
     # (hidden 128 = one TPU lane register); custom-width checkpoints
-    # (config arch args / retrained models) run the shape-generic scan
+    # (config arch args / retrained models) run the shape-generic scan.
+    # An explicit kernel="pallas" with a custom width is refused by the
+    # kernel's own entry guard (ops/lstm_pallas.py) with the same message.
     hidden = params.w_hh_f.shape[0]
     if kernel == "auto":
-        kernel = "pallas" if _on_tpu() and hidden == 128 else "scan"
+        kernel = "pallas" if _on_tpu() and hidden == HIDDEN else "scan"
     if kernel == "pallas":
-        if hidden != 128:
-            raise ValueError(
-                f"kernel='pallas' supports the reference hidden width 128 "
-                f"only (got {hidden}); use kernel='scan' (or 'auto', which "
-                "selects it automatically) for custom-width checkpoints"
-            )
         from ribodetector_tpu.ops.lstm_pallas import bilstm_logits_pallas
 
         return bilstm_logits_pallas(

@@ -765,7 +765,21 @@ class NativeRunner:
         # from more feeders (every feeder burns a core on transfer marshal).
         rt = predictor.config.get("runtime", {})
         self.DEPTH = int(rt.get("depth", self.DEPTH))
+        # config values bypass any CLI validation (same reasoning as the
+        # gz_level check): depth < 2 would shrink the pinned-window budget
+        # below _ChunkAcc.MAX_WINDOWS and break the slot-pool sizing proof
+        if not 2 <= self.DEPTH <= 64:
+            raise RuntimeError(
+                f"runtime.depth must be in [2, 64], got {self.DEPTH}"
+            )
         self._dispatchers_cfg = rt.get("dispatchers", None)
+        if self._dispatchers_cfg is not None:
+            self._dispatchers_cfg = int(self._dispatchers_cfg)
+            if not 1 <= self._dispatchers_cfg <= 32:
+                raise RuntimeError(
+                    "runtime.dispatchers must be in [1, 32], got "
+                    f"{self._dispatchers_cfg}"
+                )
         # Device batch: the reference's -m formula (quirk #9) guards GPU RAM
         # on its hardware; on TPU a [131072, len] token batch is ~13 MB of
         # HBM, so the native path lifts the device batch to cut per-call
@@ -1271,17 +1285,27 @@ class ResumeState:
         self.chunks_done = 0
         self._offsets = {}
         self._fhs = None
+        self._wd = None  # cached weights digest (hashed once per run)
 
     def _config_key(self, p):
+        # v3: byte-offset manifests over the final outputs; v1/v2
+        # (window-chunk / part-file) manifests cannot be resumed here.
+        # EVERY setting that affects labels or the output-file set is part
+        # of the key -- resuming with a changed --semantics / --precision /
+        # --kernel / --buckets / compute dtype / WEIGHTS would mix numeric
+        # regimes (or models) in one file, and a changed output list would
+        # truncate a file the interrupted run never tracked. The kernel is
+        # recorded RESOLVED (auto -> pallas/scan as this host would run
+        # it), so resuming on a host whose auto-selection differs is
+        # refused too. (gz_level is deliberately absent: it only changes
+        # compressed bytes, not content.)
+        from ribodetector_tpu.ops.dispatch import _on_tpu
+
+        kernel = p.kernel
+        if kernel == "auto":
+            hidden = p.params.w_hh_f.shape[0]
+            kernel = "pallas" if _on_tpu() and hidden == 128 else "scan"
         return {
-            # v3: byte-offset manifests over the final outputs; v1/v2
-            # (window-chunk / part-file) manifests cannot be resumed here.
-            # EVERY setting that affects labels or the output-file set is
-            # part of the key -- resuming with a changed --semantics /
-            # --precision / --kernel / --buckets would mix numeric regimes
-            # in one file, and a changed output list would truncate a file
-            # the interrupted run never tracked. (gz_level is deliberately
-            # absent: it only changes compressed bytes, not content.)
             "v": 3,
             "inputs": list(p.input),
             "outputs": list(p.output),
@@ -1291,9 +1315,28 @@ class ResumeState:
             "records_per_chunk": records_per_chunk(p),
             "semantics": p.semantics,
             "precision": p.precision_mode,
-            "kernel": p.kernel,
+            "compute_dtype": str(p.compute_dtype),
+            "kernel": kernel,
             "buckets": getattr(p, "_resume_buckets", None),
+            "weights": self._weights_digest(p),
         }
+
+    def _weights_digest(self, p):
+        """Identity of the loaded weights (path alone can alias different
+        checkpoints across runs). Hashed once per run (cached: the config
+        key is rebuilt per completed chunk on the writer thread)."""
+        if self._wd is None:
+            import hashlib
+
+            h = hashlib.sha1()
+            try:
+                with open(p.state_file, "rb") as fh:
+                    for blk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(blk)
+                self._wd = h.hexdigest()[:16]
+            except OSError:  # pragma: no cover - state_file was just loaded
+                self._wd = "unknown"
+        return self._wd
 
     # -- lifecycle -----------------------------------------------------
 
@@ -1344,7 +1387,21 @@ class ResumeState:
                 handles = []
                 for f in files:
                     open(f, "ab").close()  # ensure it exists
-                    os.truncate(f, int(self._offsets.get(f, 0)))
+                    off = int(self._offsets.get(f, 0))
+                    if os.path.getsize(f) < off:
+                        # os.truncate would EXTEND a shorter file with NUL
+                        # bytes -- silent corruption. The output was
+                        # deleted/modified since the interrupted run.
+                        raise RuntimeError(
+                            "--resume: output {} is shorter than the "
+                            "manifest's recorded offset ({} < {}); it was "
+                            "modified or removed since the interrupted "
+                            "run. Remove the manifest and outputs to "
+                            "start fresh.".format(
+                                f, os.path.getsize(f), off
+                            )
+                        )
+                    os.truncate(f, off)
                     raw = open(f, "ab")
                     handles.append(
                         MemberGzipWriter(raw, level=getattr(p, "gz_level", None))

@@ -38,9 +38,10 @@ def build_arg_parser():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--semantics", choices=["dense", "packed"], default="dense")
-    ap.add_argument("--hidden", type=int, default=128,
+    ap.add_argument("--hidden", type=int, default=None,
                     help="LSTM hidden width (default 128, the reference arch; "
-                    "custom widths run the engine's scan kernel)")
+                    "custom widths run the engine's scan kernel). "
+                    "Incompatible with --init, whose checkpoint fixes the width.")
     ap.add_argument("--init", default=None,
                     help=".npz to fine-tune from (default: random init)")
     ap.add_argument("--seed", type=int, default=0)
@@ -98,10 +99,16 @@ def main(argv=None):
         print(f"loaded {len(eval_data[2])} validation reads")
 
     if args.init:
+        if args.hidden is not None:
+            ap.error("--hidden cannot be combined with --init: the "
+                     "checkpoint fixes the width")
         params = load_params(args.init)
         print(f"fine-tuning from {args.init}")
     else:
-        params = init_params(jax.random.PRNGKey(args.seed), hidden=args.hidden)
+        params = init_params(
+            jax.random.PRNGKey(args.seed),
+            hidden=args.hidden if args.hidden is not None else 128,
+        )
 
     mesh = None
     batch = args.batch

@@ -281,3 +281,35 @@ def test_writer_disk_error_aborts_cleanly(tmp_path, monkeypatch):
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+@pytest.mark.parametrize("key,bad", [("depth", 1), ("depth", 99),
+                                     ("dispatchers", 0)])
+def test_pipeline_knob_validation(tmp_path, key, bad):
+    """Config-sourced runtime.depth / runtime.dispatchers are validated at
+    startup (out-of-range values would break the pinned-window budget or
+    crash in ThreadPoolExecutor mid-run)."""
+    from types import SimpleNamespace
+
+    from ribodetector_tpu import native
+    from ribodetector_tpu.config import ConfigParser, DEFAULT_CONFIG
+    from ribodetector_tpu.runtime import Predictor
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    cfg = ConfigParser.from_json(DEFAULT_CONFIG)
+    cfg.config.setdefault("runtime", {})[key] = bad
+    inp = tmp_path / "in.fq"
+    inp.write_text("@a\nACGT\n+\nIIII\n")
+    args = SimpleNamespace(
+        len=60, input=[str(inp)], output=[str(tmp_path / "o.fq")], rrna=None,
+        ensure="none", threads=1, memory=3, chunk_size=1, log=None,
+        profile=False, trace_dir=None, resume=False, semantics=None,
+        kernel="scan", precision=None, buckets=None, hosts=1, host_id=0,
+        coordinator=None, num_hosts=None, deviceid=None, config=None,
+        gz_level=None, barrier_timeout=None,
+    )
+    p = Predictor(cfg, args)
+    p.load_model()
+    with pytest.raises(RuntimeError, match=f"runtime.{key}"):
+        p.detect()

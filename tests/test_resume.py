@@ -292,3 +292,77 @@ def test_resume_rejects_changed_label_settings(tmp_path, monkeypatch):
     # unchanged settings still resume fine
     run(tmp_path, inp, tmp_path / "e.fq", tmp_path / "er.fq",
         ["--resume", "--semantics", "dense"])
+
+
+def test_resume_refuses_tampered_output(tmp_path, monkeypatch):
+    """A resumed run whose output file is shorter than the manifest's
+    recorded offset must refuse (os.truncate would otherwise zero-EXTEND
+    the file -- silent corruption; round-4 review finding)."""
+    inp = tmp_path / "in.fq"
+    write_fastq(inp, 5000, seed=17)
+
+    from ribodetector_tpu.runtime.native_pipeline import ResumeState
+
+    orig = ResumeState.complete_chunk
+    calls = {"n": 0}
+
+    def crashing(self, p, ci, fhs, num_read, counts):
+        orig(self, p, ci, fhs, num_read, counts)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise KeyboardInterrupt("simulated crash")
+
+    monkeypatch.setattr(ResumeState, "complete_chunk", crashing)
+    with pytest.raises(KeyboardInterrupt):
+        run(tmp_path, inp, tmp_path / "t.fq", tmp_path / "tr.fq", ["--resume"])
+    monkeypatch.setattr(ResumeState, "complete_chunk", orig)
+    (tmp_path / "t.fq").write_bytes(b"tiny")  # shorter than the offset
+    with pytest.raises(RuntimeError, match="shorter than the manifest"):
+        run(tmp_path, inp, tmp_path / "t.fq", tmp_path / "tr.fq", ["--resume"])
+
+
+def test_resume_refuses_changed_weights(tmp_path, monkeypatch):
+    """The manifest records a digest of the weights: resuming with a
+    different checkpoint at the same path is refused (mixed-model output
+    would be silent corruption)."""
+    import shutil
+    from types import SimpleNamespace
+
+    import jax
+
+    from ribodetector_tpu.models.bilstm import init_params, save_params
+    from ribodetector_tpu.runtime.native_pipeline import ResumeState
+
+    inp = tmp_path / "in.fq"
+    write_fastq(inp, 5000, seed=19)
+    ck = tmp_path / "w.npz"
+    shutil.copy("ribodetector_tpu/data/ribodetector_v1.npz", ck)
+    cfgp = tmp_path / "cfg.json"
+    import json as _json
+
+    from ribodetector_tpu.config import DEFAULT_CONFIG
+
+    cfg = _json.load(open(DEFAULT_CONFIG))
+    cfg["state_file"] = {"mcc": str(ck), "recall": str(ck)}
+    _json.dump(cfg, open(cfgp, "w"))
+
+    orig = ResumeState.complete_chunk
+    calls = {"n": 0}
+
+    def crashing(self, p, ci, fhs, num_read, counts):
+        orig(self, p, ci, fhs, num_read, counts)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise KeyboardInterrupt("simulated crash")
+
+    argv = ["-c", str(cfgp), "-l", "60", "-i", str(inp),
+            "-o", str(tmp_path / "o.fq"), "-m", "3", "--chunk_size", "1",
+            "--resume"]
+    monkeypatch.setattr(ResumeState, "complete_chunk", crashing)
+    with pytest.raises(KeyboardInterrupt):
+        cli_main(argv)
+    monkeypatch.setattr(ResumeState, "complete_chunk", orig)
+    # swap the checkpoint for a different model at the same path
+    save_params(str(ck), init_params(jax.random.PRNGKey(3)), {"note": "other"})
+    with pytest.raises(RuntimeError, match="different run configuration"):
+        cli_main(argv)
