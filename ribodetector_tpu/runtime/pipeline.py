@@ -56,6 +56,9 @@ class Predictor:
         self.args = args
         self.logger = config.get_logger("predict", 1, getattr(args, "log", None))
         self.chunk_size = getattr(args, "chunk_size", None)
+        # jitted-step memo (keyed by shape/emit/pad_gap): one Predictor can
+        # serve many detect() runs (serve.py) without re-tracing per run
+        self._infer_cache = {}
         from ribodetector_tpu.runtime.profiling import StageTimer
 
         self.timer = StageTimer(enabled=bool(getattr(args, "profile", False)))
@@ -284,7 +287,14 @@ class Predictor:
         the full [B, len] dense semantics by starting the backward carry at
         zero_prefix_state(params, pad_gap) -- exact for every read routed
         to the bucket (models/bilstm.py zero_prefix_state docstring).
+
+        Memoized per (packed_max_len, emit, pad_gap): repeat detect() runs
+        on one Predictor (serve mode) reuse the traced step.
         """
+        memo_key = (packed_max_len, emit, pad_gap)
+        cached = self._infer_cache.get(memo_key)
+        if cached is not None:
+            return cached
         import jax
         import jax.numpy as jnp
 
@@ -387,6 +397,7 @@ class Predictor:
             def infer(tokens, lengths):
                 return classify(tokens, lengths)
 
+            self._infer_cache[memo_key] = infer
             return infer
 
         max_len = packed_max_len
@@ -396,13 +407,16 @@ class Predictor:
             def infer_packed(ptokens, lengths):
                 return classify(unpack_b5_tokens(ptokens, max_len), lengths)
 
+            self._infer_cache[memo_key] = infer_packed
             return infer_packed
 
         @jax.jit
         def infer_dense(ptokens):
             return classify(unpack_b5_tokens(ptokens, max_len), None)
 
-        return lambda ptokens, lengths=None: infer_dense(ptokens)
+        ret = lambda ptokens, lengths=None: infer_dense(ptokens)
+        self._infer_cache[memo_key] = ret
+        return ret
 
     # ------------------------------------------------------------ encode
 

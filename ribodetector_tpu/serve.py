@@ -1,0 +1,183 @@
+"""Server mode: amortize startup across many detection jobs.
+
+Production farms classify thousands of small FASTQ/FASTA files; the
+reference pays its full startup (interpreter + torch/ORT import + model
+load) per file (reference: ribodetector/detect.py:763-809 is a one-shot
+process; no server exists). Here one long-lived process loads the model,
+traces/compiles the classify steps once (Predictor._build_infer memo +
+the persistent XLA compile cache), and then runs jobs as they arrive:
+
+  python -m ribodetector_tpu.serve -l 100 < jobs.jsonl
+
+Protocol: one JSON object per stdin line ->  one JSON response per stdout
+line (logs go to stderr), in order:
+
+  request : {"id": any, "input": [...], "output": [...],
+             "rrna": [...] | null, "ensure": "none|rrna|norrna|both",
+             "chunk_size": int | null}
+  response: {"id": ..., "status": "ok", "num_read": N,
+             "counts": {"norrna": N, "rrna": N, "unclf": N},
+             "seconds": S}
+          | {"id": ..., "status": "error", "error": "..."}
+
+A malformed or failing job answers with status=error and the server keeps
+serving (per-job errors never kill the process). EOF on stdin ends the
+server. Read length, semantics/kernel/precision/buckets and host budgets
+are fixed per server (they define the compiled shapes); ensure may vary
+per job -- "norrna" jobs route to a second Predictor holding the "recall"
+weights when the config maps that key to a different file (quirk #6;
+the shipped config aliases both keys to one file, so the common case is a
+single model instance).
+"""
+
+import argparse
+import json
+import sys
+import time
+from types import SimpleNamespace
+
+
+def build_arg_parser():
+    ap = argparse.ArgumentParser(
+        prog="python -m ribodetector_tpu.serve",
+        description="Long-lived rRNA detection server (JSONL on stdin/stdout)",
+    )
+    ap.add_argument("-c", "--config", default=None, type=str)
+    ap.add_argument("-l", "--len", type=int, required=True,
+                    help="read length every job is classified at (fixes the "
+                    "compiled shapes)")
+    ap.add_argument("-t", "--threads", default=10, type=int)
+    ap.add_argument("-m", "--memory", default=32, type=int)
+    ap.add_argument("--log", default=None, type=str)
+    ap.add_argument("--semantics", default=None, choices=["dense", "packed"])
+    ap.add_argument("--kernel", default=None, choices=["auto", "scan", "pallas"])
+    ap.add_argument("--precision", default=None, choices=["exact", "high", "fast"])
+    ap.add_argument("--buckets", default=None, type=str)
+    ap.add_argument("--gz-level", default=None, type=int, choices=range(1, 13),
+                    metavar="{1..12}")
+    return ap
+
+
+_ENSURES = ("none", "rrna", "norrna", "both")
+
+
+class Server:
+    """Owns one Predictor per distinct weight file (ensure-keyed)."""
+
+    def __init__(self, args, config):
+        self.args = args
+        self.config = config
+        self._predictors = {}  # weight key ("mcc"/"recall") -> Predictor
+
+    def _job_args(self, req):
+        ensure = req.get("ensure", "none")
+        if ensure not in _ENSURES:
+            raise ValueError(f"ensure must be one of {_ENSURES}, got {ensure!r}")
+        inputs = req.get("input")
+        outputs = req.get("output")
+        if not inputs or not outputs:
+            raise ValueError("request needs non-empty 'input' and 'output' lists")
+        chunk_size = req.get("chunk_size")
+        return SimpleNamespace(
+            len=self.args.len,
+            input=list(inputs),
+            output=list(outputs),
+            rrna=list(req["rrna"]) if req.get("rrna") else None,
+            ensure=ensure,
+            threads=self.args.threads,
+            memory=self.args.memory,
+            chunk_size=int(chunk_size) if chunk_size else None,
+            log=self.args.log,
+            profile=False,
+            trace_dir=None,
+            resume=False,
+            semantics=self.args.semantics,
+            kernel=self.args.kernel,
+            precision=self.args.precision,
+            buckets=self.args.buckets,
+            gz_level=self.args.gz_level,
+            hosts=1, host_id=0, coordinator=None, num_hosts=None,
+            deviceid=None, config=self.args.config, barrier_timeout=None,
+        )
+
+    def _predictor_for(self, job_args):
+        # quirk #6: -e norrna selects the "recall" weights key
+        key = "recall" if job_args.ensure == "norrna" else "mcc"
+        if key not in self._predictors:
+            from ribodetector_tpu.runtime import Predictor
+
+            # alias detection: the shipped config maps both keys to one
+            # file -- share the Predictor (and its compiled steps) then
+            other = "recall" if key == "mcc" else "mcc"
+            if other in self._predictors and self.config["state_file"].get(
+                key
+            ) == self.config["state_file"].get(other):
+                self._predictors[key] = self._predictors[other]
+            else:
+                p = Predictor(self.config, self._job_args({"input": ["x"],
+                                                           "output": ["x"],
+                                                           "ensure":
+                                                           job_args.ensure}))
+                p.load_model()
+                self._predictors[key] = p
+        return self._predictors[key]
+
+    def run_job(self, req):
+        job_args = self._job_args(req)
+        p = self._predictor_for(job_args)
+        # rebind the per-job fields on the long-lived Predictor
+        p.args = job_args
+        p.chunk_size = job_args.chunk_size
+        from ribodetector_tpu.runtime.profiling import StageTimer
+
+        p.timer = StageTimer(enabled=False)
+        t0 = time.time()
+        p.detect()
+        num_read, counts = p._final
+        return {
+            "status": "ok",
+            "num_read": num_read,
+            "counts": counts,
+            "seconds": round(time.time() - t0, 3),
+        }
+
+    def serve(self, lines, out):
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            rid = None
+            try:
+                req = json.loads(line)
+                rid = req.get("id")
+                resp = self.run_job(req)
+            except BaseException as e:  # noqa: BLE001 - per-job isolation
+                if isinstance(e, (KeyboardInterrupt, SystemExit)):
+                    raise
+                resp = {"status": "error", "error": f"{type(e).__name__}: {e}"}
+            resp["id"] = rid
+            out.write(json.dumps(resp) + "\n")
+            out.flush()
+
+
+def main(argv=None, stdin=None, stdout=None):
+    args = build_arg_parser().parse_args(argv)
+
+    from ribodetector_tpu.cli import honor_env_platforms
+    from ribodetector_tpu.config import DEFAULT_CONFIG, ConfigParser
+
+    honor_env_platforms()
+    config = ConfigParser.from_json(
+        args.config if args.config is not None else DEFAULT_CONFIG
+    )
+    if args.kernel is not None:
+        config.config.setdefault("runtime", {})["kernel"] = args.kernel
+    srv = Server(args, config)
+    print(f"ribodetector_tpu serve: ready (len={args.len}); "
+          "one JSON job per line on stdin", file=sys.stderr, flush=True)
+    srv.serve(stdin if stdin is not None else sys.stdin,
+              stdout if stdout is not None else sys.stdout)
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,7 @@ setup(
             "ribodetector=ribodetector_tpu.cli:main",
             "ribodetector_cpu=ribodetector_tpu.cli:main_cpu",
             "ribodetector_tpu=ribodetector_tpu.cli:main",
+            "ribodetector_tpu_serve=ribodetector_tpu.serve:main",
         ]
     },
 )
