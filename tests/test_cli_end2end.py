@@ -181,3 +181,49 @@ def test_native_progress_bar_on_tty(tmp_path):
     text = out.decode("utf-8", "replace")
     assert " reads" in text and "\r" in text  # a live bar was drawn
     assert "sequences finished" not in text  # bar replaces the log lines
+
+
+def test_portable_path_matches_native_end_to_end(tmp_path, rng):
+    """runtime.native=false (the no-g++ fallback engine, Predictor.run/
+    run_with_chunks) must produce byte-identical plain outputs to the
+    native fast path for single and paired runs."""
+    import json
+
+    from ribodetector_tpu import native
+    from ribodetector_tpu.config import DEFAULT_CONFIG
+
+    if not native.available():
+        pytest.skip("native extension unavailable (nothing to compare against)")
+
+    cfg = json.load(open(DEFAULT_CONFIG))
+    cfg.setdefault("runtime", {})["native"] = False
+    cfgp = tmp_path / "portable.json"
+    json.dump(cfg, open(cfgp, "w"))
+
+    n = 400
+    seqs1 = random_reads(rng, n, lmin=20, lmax=80)
+    seqs2 = random_reads(rng, n, lmin=20, lmax=80)
+    names = [f"pp{i}" for i in range(n)]
+    write_fastq(tmp_path / "r1.fq", names, seqs1)
+    write_fastq(tmp_path / "r2.fq", names, seqs2)
+
+    def run(tag, extra=()):
+        cli_main(["-l", "80", "-i", str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq"),
+                  "-o", str(tmp_path / f"{tag}1.fq"), str(tmp_path / f"{tag}2.fq"),
+                  "-r", str(tmp_path / f"{tag}r1.fq"), str(tmp_path / f"{tag}r2.fq"),
+                  "-e", "both", "-m", "3", "--kernel", "scan", *extra])
+
+    run("nat", ["--chunk_size", "1"])
+    run("port", ["--chunk_size", "1", "-c", str(cfgp)])
+    for stem in ("1.fq", "2.fq", "r1.fq", "r2.fq"):
+        assert (tmp_path / f"port{stem}").read_bytes() == (
+            tmp_path / f"nat{stem}"
+        ).read_bytes(), stem
+
+    # single-end whole-file mode too
+    cli_main(["-l", "80", "-i", str(tmp_path / "r1.fq"),
+              "-o", str(tmp_path / "sn.fq"), "-m", "3", "--kernel", "scan"])
+    cli_main(["-l", "80", "-i", str(tmp_path / "r1.fq"),
+              "-o", str(tmp_path / "sp.fq"), "-m", "3", "--kernel", "scan",
+              "-c", str(cfgp)])
+    assert (tmp_path / "sp.fq").read_bytes() == (tmp_path / "sn.fq").read_bytes()
