@@ -49,8 +49,11 @@ from ribodetector_tpu.io.format import get_seq_format
 from ribodetector_tpu.io.gzfast import MemberGzipWriter, RawInflater, compress_member
 from ribodetector_tpu.parallel.sharded import host_chunk_assignment
 
+from ribodetector_tpu.runtime.buckets import PAD_B5 as _PAD_BYTE
+
 _BLOCK = 4 << 20
-_PAD_BYTE = 124  # base-5 packed all-pad trio: 4 + 5*4 + 25*4
+# _PAD_BYTE: base-5 packed all-pad trio (124) -- single Python-side
+# definition lives in runtime/buckets.py, matching native/fastx.cpp
 
 
 class FastqChunkStream:
@@ -96,6 +99,7 @@ class FastqChunkStream:
         self._fh = open(path, "rb")
         self._gz = get_seq_format(path).endswith("gz")
         self._carry = b""  # decompressed bytes awaiting window placement
+        self._nl_appended = False  # one-shot EOF newline fix (see _eof_no_record)
         self._tail = b""  # decompressed partial record from the last window
         self._eof = False
         # gz inputs: inflate runs in its own thread so decompression of
@@ -192,14 +196,75 @@ class FastqChunkStream:
                 self._carry = blk[take:]
         return pos
 
-    def __iter__(self):
-        lib = native._load()
+    # -- format hooks (overridden by FastaChunkStream) ------------------
+
+    def _parse_window(self, si, pos, at_eof):
+        """Run the native FASTQ parser over slot si's window[:pos]. Returns
+        (n, used, data) where `data` is the buffer the offsets index."""
         import ctypes
 
+        lib = native._load()
+        win, offsets, ptokens, lengths, clean = self._slots[si]
         pl = native.b5_packed_len(self.max_len)
+        consumed = np.zeros(1, np.int64)
+        buf = (ctypes.c_char * pos).from_buffer(win)
+        n = lib.rd_parse_fastq_b5(
+            buf,
+            pos,
+            self.cap,
+            self.max_len,
+            pl,
+            native._ptr(offsets, ctypes.c_int64),
+            native._ptr(ptokens, ctypes.c_uint8),
+            native._ptr(lengths, ctypes.c_int32),
+            native._ptr(clean, ctypes.c_uint8),
+            native._ptr(consumed, ctypes.c_int64),
+        )
+        del buf  # release the buffer export
+        return n, int(consumed[0]), win
+
+    def _eof_no_record(self, win, pos):
+        """EOF reached with leftover bytes that parse to no record. FASTQ:
+        a final record without a trailing newline is legitimate (the
+        portable parser yields it -- Python line iteration yields the last
+        unterminated line), so append one newline and re-parse once;
+        anything still unparseable is a truncated record, which the
+        portable path raises on too (io/fastx.py seq_parser). Returns True
+        to re-parse the (same) window."""
+        if (
+            not self._nl_appended
+            and pos < self.win_bytes
+            and win[pos - 1] != 0x0A
+        ):
+            self._nl_appended = True
+            win[pos] = 0x0A
+            self._tail = bytes(win[: pos + 1])
+            return True
+        if pos >= self.win_bytes:
+            raise RuntimeError(
+                "record larger than the {} MB parse window".format(
+                    self.win_bytes >> 20
+                )
+            )
+        head = bytes(win[: min(pos, 120)]).split(b"\n")[0][:80]
+        raise ValueError(
+            "Truncated FASTQ record at end of file: {!r}".format(head)
+        )
+
+    # -- shared window loop ---------------------------------------------
+
+    def __iter__(self):
+        """ONE loop serves both formats (the parser call and EOF policy are
+        the format hooks above; round 4 consolidated the two near-identical
+        copies). Slot discipline: a NEW slot is taken only per YIELDED
+        window -- the n==0 retry path rewinds _si and reuses the same slot,
+        otherwise consecutive retries (a record much larger than the
+        adaptive estimate) could wrap the pool onto a window still pinned
+        by an in-flight accumulator and corrupt its byte-gather output."""
         while True:
-            win, offsets, ptokens, lengths, clean = self._slots[self._si]
+            si = self._si
             self._si = (self._si + 1) % self.slots
+            win = self._slots[si][0]
             mv = memoryview(win)
             pos = len(self._tail)
             mv[:pos] = self._tail
@@ -214,28 +279,17 @@ class FastqChunkStream:
             del mv
             if pos == 0:
                 return
-            consumed = np.zeros(1, np.int64)
-            buf = (ctypes.c_char * pos).from_buffer(win)
-            n = lib.rd_parse_fastq_b5(
-                buf,
-                pos,
-                self.cap,
-                self.max_len,
-                pl,
-                native._ptr(offsets, ctypes.c_int64),
-                native._ptr(ptokens, ctypes.c_uint8),
-                native._ptr(lengths, ctypes.c_int32),
-                native._ptr(clean, ctypes.c_uint8),
-                native._ptr(consumed, ctypes.c_int64),
-            )
-            del buf  # release the buffer export
-            used = int(consumed[0])
+            at_eof = self._eof and not self._carry
+            n, used, data = self._parse_window(si, pos, at_eof)
             if n == 0:
-                if self._eof and not self._carry:
-                    return  # trailing junk without a complete record
+                self._si = si  # reuse this slot on every no-record path
+                if at_eof:
+                    if self._eof_no_record(win, pos):
+                        continue
+                    return
                 if pos >= self.win_bytes:
                     raise RuntimeError(
-                        "FASTQ record larger than the {} MB parse window".format(
+                        "record larger than the {} MB parse window".format(
                             self.win_bytes >> 20
                         )
                     )
@@ -246,16 +300,25 @@ class FastqChunkStream:
                 continue
             self._avg_rec = 0.5 * self._avg_rec + 0.5 * (used / n)
             self._tail = bytes(win[used:pos])
-            yield (
-                win,
-                offsets[:n],
-                ptokens[:n],
-                lengths[:n],
-                clean[:n],
-                n,
-            )
+            _, offsets, ptokens, lengths, clean = self._slots[si]
+            yield (data, offsets[:n], ptokens[:n], lengths[:n], clean[:n], n)
             if self._eof and not self._carry and not self._tail:
                 return
+
+    def close(self):
+        """Release the input fd and unblock the decomp thread (idempotent;
+        failed-job cleanup for the long-lived serve mode)."""
+        try:
+            self._fh.close()
+        except Exception:
+            pass
+        q = self._blockq
+        if q is not None:
+            for _ in range(32):
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 class FastaChunkStream(FastqChunkStream):
@@ -272,71 +335,43 @@ class FastaChunkStream(FastqChunkStream):
         super().__init__(*args, **kwargs)
         self._norms = [bytearray(self.win_bytes) for _ in range(self.slots)]
 
-    def __iter__(self):
-        lib = native._load()
+    def _parse_window(self, si, pos, at_eof):
         import ctypes
 
+        lib = native._load()
+        win, offsets, ptokens, lengths, clean = self._slots[si]
+        norm = self._norms[si]
         pl = native.b5_packed_len(self.max_len)
-        while True:
-            win, offsets, ptokens, lengths, clean = self._slots[self._si]
-            norm = self._norms[self._si]
-            self._si = (self._si + 1) % self.slots
-            mv = memoryview(win)
-            pos = len(self._tail)
-            mv[:pos] = self._tail
-            target = min(
-                self.win_bytes, pos + int(self.cap * self._avg_rec * 1.05) + 4096
-            )
-            pos = (
-                self._fill_gz(mv, pos, target)
-                if self._gz
-                else self._fill_plain(mv, pos, target)
-            )
-            del mv
-            if pos == 0:
-                return
-            # everything left of the file is in this window iff _eof with no
-            # carry -- only then may the trailing record finalize
-            at_eof = 1 if (self._eof and not self._carry) else 0
-            consumed = np.zeros(1, np.int64)
-            norm_used = np.zeros(1, np.int64)
-            buf = (ctypes.c_char * pos).from_buffer(win)
-            nbuf = (ctypes.c_char * len(norm)).from_buffer(norm)
-            n = lib.rd_parse_fasta_b5(
-                buf,
-                pos,
-                at_eof,
-                self.cap,
-                self.max_len,
-                pl,
-                nbuf,
-                len(norm),
-                native._ptr(offsets, ctypes.c_int64),
-                native._ptr(ptokens, ctypes.c_uint8),
-                native._ptr(lengths, ctypes.c_int32),
-                native._ptr(consumed, ctypes.c_int64),
-                native._ptr(norm_used, ctypes.c_int64),
-            )
-            del buf, nbuf  # release the buffer exports
-            used = int(consumed[0])
-            if n == 0:
-                if at_eof:
-                    return  # trailing junk / dropped empty-sequence record
-                if pos >= self.win_bytes:
-                    raise RuntimeError(
-                        "FASTA record larger than the {} MB parse window".format(
-                            self.win_bytes >> 20
-                        )
-                    )
-                self._avg_rec = min(self._avg_rec * 2, float(self.win_bytes))
-                self._tail = bytes(win[:pos])
-                continue
-            self._avg_rec = 0.5 * self._avg_rec + 0.5 * (used / n)
-            self._tail = bytes(win[used:pos])
-            clean[:n] = 1
-            yield (norm, offsets[:n], ptokens[:n], lengths[:n], clean[:n], n)
-            if self._eof and not self._carry and not self._tail:
-                return
+        consumed = np.zeros(1, np.int64)
+        norm_used = np.zeros(1, np.int64)
+        buf = (ctypes.c_char * pos).from_buffer(win)
+        nbuf = (ctypes.c_char * len(norm)).from_buffer(norm)
+        n = lib.rd_parse_fasta_b5(
+            buf,
+            pos,
+            1 if at_eof else 0,
+            self.cap,
+            self.max_len,
+            pl,
+            nbuf,
+            len(norm),
+            native._ptr(offsets, ctypes.c_int64),
+            native._ptr(ptokens, ctypes.c_uint8),
+            native._ptr(lengths, ctypes.c_int32),
+            native._ptr(consumed, ctypes.c_int64),
+            native._ptr(norm_used, ctypes.c_int64),
+        )
+        del buf, nbuf  # release the buffer exports
+        if n:
+            clean[:n] = 1  # normalization IS the reference text
+        return n, int(consumed[0]), norm
+
+    def _eof_no_record(self, win, pos):
+        """FASTA trailing junk / empty-sequence record: silently dropped,
+        matching the portable parser (io/fastx.py seq_parser FASTA arm) --
+        rd_parse_fasta_b5 already finalizes unterminated trailing records
+        itself via its at_eof flag."""
+        return False
 
 
 def make_chunk_stream(path, max_len, records_per_chunk, **kwargs):
@@ -361,17 +396,26 @@ class _Prefetcher:
     def __init__(self, it, depth=1):
         self._q = queue.Queue(maxsize=depth)
         self._exc = None
+        self._stopped = False
         self._t = threading.Thread(target=self._run, args=(it,), daemon=True)
         self._t.start()
 
     def _run(self, it):
         try:
             for item in it:
-                self._q.put(item)
+                while not self._stopped:
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stopped:
+                    return
         except BaseException as e:  # propagated to the consumer
             self._exc = e
         finally:
-            self._q.put(self._DONE)
+            if not self._stopped:
+                self._q.put(self._DONE)
 
     def get(self):
         item = self._q.get()
@@ -380,6 +424,16 @@ class _Prefetcher:
                 raise self._exc
             return None
         return item
+
+    def stop(self):
+        """Abandon the producer (failed-job cleanup): unblocks its put()
+        and lets the thread exit without draining the source iterator."""
+        self._stopped = True
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                return
 
 
 class _RecordCursor:
@@ -1019,10 +1073,11 @@ class NativeRunner:
             if acc.close_fhs:
                 # chunk complete: the manifest update runs ON THE WRITER
                 # THREAD, ordered after every write just enqueued for this
-                # chunk (complete_chunk also closes the part files) -- so
-                # unlike the round-3 engine there is NO per-chunk barrier on
-                # this thread and the pipeline keeps DEPTH batches in flight
-                # across chunk boundaries while resume stays crash-exact.
+                # chunk (complete_chunk flushes the shared final outputs and
+                # records their byte offsets) -- so unlike the round-3
+                # engine there is NO per-chunk barrier on this thread and
+                # the pipeline keeps DEPTH batches in flight across chunk
+                # boundaries while resume stays crash-exact.
                 # counts/records snapshots are taken here because accs write
                 # strictly FIFO, so they cover exactly chunks <= acc.ci.
                 resume, p, ci = self._resume, self.p, acc.ci
@@ -1078,116 +1133,162 @@ class NativeRunner:
             compress_threads=self._compress_threads(),
             gz_level=getattr(p, "gz_level", None),
         )
-        timer = p.timer
-        curs = [
-            _RecordCursor(_Prefetcher(iter(s), depth=self.PREFETCH))
-            for s in streams
-        ]
-        # Bucketed batches each own a pooled staging buffer (released only
-        # after their labels are fetched), so their H2D transfers can
-        # overlap: a pool of dispatcher threads hides the tunneled device
-        # link's large fixed per-call device_put latency, which otherwise
-        # serializes the ~5x more (smaller) calls bucketing makes per
-        # chunk. Labels scatter by index, so completion order is
-        # irrelevant. With a single bucket (full-size batches) two feeders
-        # measurably reach the device-resident floor and more contend
-        # (experiments/kbench7.py: 81.8 -> 62.0 ms/batch).
-        from concurrent.futures import ThreadPoolExecutor
+        ok = False
+        curs = []
+        try:
+            timer = p.timer
+            curs = [
+                _RecordCursor(_Prefetcher(iter(s), depth=self.PREFETCH))
+                for s in streams
+            ]
+            # Bucketed batches each own a pooled staging buffer (released only
+            # after their labels are fetched), so their H2D transfers can
+            # overlap: a pool of dispatcher threads hides the tunneled device
+            # link's large fixed per-call device_put latency, which otherwise
+            # serializes the ~5x more (smaller) calls bucketing makes per
+            # chunk. Labels scatter by index, so completion order is
+            # irrelevant. With a single bucket (full-size batches) two feeders
+            # measurably reach the device-resident floor and more contend
+            # (experiments/kbench7.py: 81.8 -> 62.0 ms/batch).
+            from concurrent.futures import ThreadPoolExecutor
 
-        workers = self._dispatchers_cfg
-        if workers is None:
-            workers = 2 if len(buckets) == 1 else 4
-        self._bucket_dispatcher = ThreadPoolExecutor(max_workers=int(workers))
-        from collections import Counter
+            workers = self._dispatchers_cfg
+            if workers is None:
+                workers = 2 if len(buckets) == 1 else 4
+            self._bucket_dispatcher = ThreadPoolExecutor(max_workers=int(workers))
+            from collections import Counter
 
-        self._pinned = (Counter(), Counter())
-        infers, stagers = self._bucket_infers(buckets)
-        partial = [None] * len(buckets)
-        from collections import deque
+            self._pinned = (Counter(), Counter())
+            infers, stagers = self._bucket_infers(buckets)
+            partial = [None] * len(buckets)
+            from collections import deque
 
-        pending = deque()
-        ci = resume.chunks_done if resume else 0
-        if resume and ci:
-            with timer.stage("parse"):
-                for c in curs:
-                    c.skip(ci * rpc)
-        while True:
-            with timer.stage("parse"):
-                if not all(c.ready() for c in curs):
-                    break
-            if self._hosts > 1 and not host_chunk_assignment(
-                ci, self._hosts, self._host_id
-            ):
+            pending = deque()
+            ci = resume.chunks_done if resume else 0
+            if resume and ci:
                 with timer.stage("parse"):
                     for c in curs:
-                        c.skip(rpc)
-                ci += 1
-                continue
-            if resume:
-                chunk_fhs = resume.open_chunk(p, ci)
-            elif parts:
-                chunk_fhs = parts.open_chunk(p, ci)
-            else:
-                chunk_fhs = fhs
-            acc = _ChunkAcc(ci, chunk_fhs, rpc)
-            done = 0
-            while done < rpc:
+                        c.skip(ci * rpc)
+            while True:
                 with timer.stage("parse"):
                     if not all(c.ready() for c in curs):
                         break
-                cnt = min(rpc - done, *(c.chunk_avail() for c in curs))
-                takes = [c.take(cnt) for c in curs]
-                new_ids = [id(t[0]) for t in takes]
-                if acc.segs and acc.would_overflow(new_ids):
-                    # per-acc window-span bound (see _ChunkAcc): split the
-                    # write accumulator mid-chunk
-                    acc.close_fhs = False
-                    self._flush_buckets(pending, infers, stagers, partial, acc)
-                    acc = _ChunkAcc(ci, chunk_fhs, rpc)
-                # global budget: drain finished batches until the pinned
-                # window count (all unwritten accs) fits the stream slot
-                # pools -- older accs write FIFO and unpin as we drain
-                while pending and self._pin_overflow(acc, new_ids):
-                    self._finish_bucketed(*pending.popleft())
-                self._pin_windows(acc, takes)
-                row0 = acc.n
-                d, bo, toks, lens, recs, start = takes[0]
-                acc.segs.append((d, bo, recs, start, cnt, row0))
-                b_idx = route_records(lens, toks, buckets, p.len)
-                if paired:
-                    d2, bo2, toks2, lens2, recs2, start2 = takes[1]
-                    acc.segs2.append((d2, bo2, recs2, start2, cnt, row0))
-                    b_idx = np.maximum(
-                        b_idx, route_records(lens2, toks2, buckets, p.len)
-                    )
-                    self._route_into(
-                        pending, infers, stagers, partial, acc, b_idx,
-                        toks, lens, toks2, lens2, row0=row0,
-                    )
+                if self._hosts > 1 and not host_chunk_assignment(
+                    ci, self._hosts, self._host_id
+                ):
+                    with timer.stage("parse"):
+                        for c in curs:
+                            c.skip(rpc)
+                    ci += 1
+                    continue
+                if resume:
+                    chunk_fhs = resume.open_chunk(p, ci)
+                elif parts:
+                    chunk_fhs = parts.open_chunk(p, ci)
                 else:
-                    self._route_into(
-                        pending, infers, stagers, partial, acc, b_idx,
-                        toks, lens, row0=row0,
-                    )
-                acc.n += cnt
-                done += cnt
-            num_read += done
-            acc.records_cum = num_read  # manifest snapshot (set pre-flush:
-            # _flush_buckets may write + complete the chunk synchronously)
-            self._flush_buckets(pending, infers, stagers, partial, acc)
-            ci += 1
-            self._log_progress(num_read)
-        while pending:
-            self._finish_bucketed(*pending.popleft())
-        self._writer.close()
+                    chunk_fhs = fhs
+                acc = _ChunkAcc(ci, chunk_fhs, rpc)
+                done = 0
+                while done < rpc:
+                    with timer.stage("parse"):
+                        if not all(c.ready() for c in curs):
+                            break
+                    cnt = min(rpc - done, *(c.chunk_avail() for c in curs))
+                    takes = [c.take(cnt) for c in curs]
+                    new_ids = [id(t[0]) for t in takes]
+                    if acc.segs and acc.would_overflow(new_ids):
+                        # per-acc window-span bound (see _ChunkAcc): split the
+                        # write accumulator mid-chunk
+                        acc.close_fhs = False
+                        self._flush_buckets(pending, infers, stagers, partial, acc)
+                        acc = _ChunkAcc(ci, chunk_fhs, rpc)
+                    # global budget: drain finished batches until the pinned
+                    # window count (all unwritten accs) fits the stream slot
+                    # pools -- older accs write FIFO and unpin as we drain
+                    while pending and self._pin_overflow(acc, new_ids):
+                        self._finish_bucketed(*pending.popleft())
+                    self._pin_windows(acc, takes)
+                    row0 = acc.n
+                    d, bo, toks, lens, recs, start = takes[0]
+                    acc.segs.append((d, bo, recs, start, cnt, row0))
+                    b_idx = route_records(lens, toks, buckets, p.len)
+                    if paired:
+                        d2, bo2, toks2, lens2, recs2, start2 = takes[1]
+                        acc.segs2.append((d2, bo2, recs2, start2, cnt, row0))
+                        b_idx = np.maximum(
+                            b_idx, route_records(lens2, toks2, buckets, p.len)
+                        )
+                        self._route_into(
+                            pending, infers, stagers, partial, acc, b_idx,
+                            toks, lens, toks2, lens2, row0=row0,
+                        )
+                    else:
+                        self._route_into(
+                            pending, infers, stagers, partial, acc, b_idx,
+                            toks, lens, row0=row0,
+                        )
+                    acc.n += cnt
+                    done += cnt
+                num_read += done
+                acc.records_cum = num_read  # manifest snapshot (set pre-flush:
+                # _flush_buckets may write + complete the chunk synchronously)
+                self._flush_buckets(pending, infers, stagers, partial, acc)
+                ci += 1
+                self._log_progress(num_read)
+            while pending:
+                self._finish_bucketed(*pending.popleft())
+            self._writer.close()
+            if self._pbar is not None:
+                self._pbar.close()
+                self._pbar = None
+            if resume:
+                resume.merge(p)
+            elif not parts:
+                p._close_outputs(fhs)
+            p._log_summary(num_read, counts)
+            ok = True
+        finally:
+            # producer threads + input fds are released on BOTH paths
+            # (a paired run truncated by quirk #8 leaves the longer
+            # side's prefetcher alive); writer/handles only on failure
+            # -- serve mode keeps the process alive across failed jobs,
+            # so leaks would accumulate.
+            for c in curs:
+                try:
+                    c._pf.stop()
+                except Exception:
+                    pass
+            for s in streams:
+                try:
+                    s.close()
+                except Exception:
+                    pass
+            if not ok:
+                self._abort_cleanup(resume, parts, fhs)
+
+    def _abort_cleanup(self, resume, parts, fhs):
+        """Best-effort teardown after a FAILED run (the primary exception
+        is already propagating; nothing here may mask it). The one-shot CLI
+        would exit anyway, but serve mode keeps the process alive across
+        failed jobs -- without this, each failure leaked the writer thread
+        + deflate pool, open output handles, and the progress bar."""
         if self._pbar is not None:
-            self._pbar.close()
+            try:
+                self._pbar.close()
+            except Exception:
+                pass
             self._pbar = None
-        if resume:
-            resume.merge(p)
-        elif not parts:
-            p._close_outputs(fhs)
-        p._log_summary(num_read, counts)
+        try:
+            self._writer.close()
+        except BaseException:
+            pass
+        try:
+            if resume is not None:
+                resume.close_handles()  # keep the manifest: still resumable
+            elif parts is None and fhs is not None:
+                self.p._close_outputs(fhs)
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
 
@@ -1438,6 +1539,18 @@ class ResumeState:
         os.replace(tmp, self.manifest_path)
         self.chunks_done = ci + 1
 
+    def close_handles(self):
+        """Close the output handles WITHOUT touching the manifest (failed-
+        run cleanup: the interrupted run stays resumable)."""
+        if self._fhs is not None:
+            for group in self._fhs.values():
+                for fh in group:
+                    try:
+                        fh.close()
+                    except Exception:  # pragma: no cover - disk errors
+                        pass
+            self._fhs = None
+
     def merge(self, p):
         """Epilogue: close the outputs and drop the manifest (nothing to
         concatenate in the offset design). Ensures outputs exist even for
@@ -1499,12 +1612,17 @@ class DistributedParts:
         order) and clean up."""
         import shutil
 
+        def chunk_index(name):
+            # numeric, NOT lexicographic: past chunk 999999 the %06d name
+            # grows a digit and string order would interleave wrongly
+            return int(name.split("_", 1)[1].split(".", 1)[0])
+
         for files in output_groups(p).values():
             for f in files:
                 parts_dir = f + ".parts"
                 with open(f, "wb") as out:
                     if os.path.isdir(parts_dir):
-                        for name in sorted(os.listdir(parts_dir)):
+                        for name in sorted(os.listdir(parts_dir), key=chunk_index):
                             with open(os.path.join(parts_dir, name), "rb") as part:
                                 shutil.copyfileobj(part, out, 8 << 20)
                 if os.path.isdir(parts_dir):

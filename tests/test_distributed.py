@@ -209,3 +209,26 @@ def test_resume_rejected_with_coordinator(tmp_path):
     p.load_model()
     with pytest.raises(RuntimeError, match="--resume cannot be combined"):
         p.detect()
+
+
+def test_parts_merge_orders_numerically_past_six_digits(tmp_path):
+    """DistributedParts.merge must order chunks numerically: past chunk
+    999999 the %06d name grows a digit and lexicographic order would
+    interleave 'chunk_1000000' before 'chunk_100001'."""
+    from types import SimpleNamespace
+
+    from ribodetector_tpu.runtime.native_pipeline import DistributedParts
+
+    out = tmp_path / "o.fq"
+    parts = str(out) + ".parts"
+    os.makedirs(parts)
+    for ci, payload in ((99, b"A"), (999999, b"B"), (1000000, b"C"),
+                        (1000001, b"D"), (100001, b"E")):
+        path = DistributedParts._part_path(str(out), ci)
+        with open(path, "wb") as fh:
+            fh.write(payload)
+    p = SimpleNamespace(output=[str(out)], rrna=None, is_paired=False,
+                        args=SimpleNamespace(ensure="none"))
+    DistributedParts(p).merge(p)
+    assert out.read_bytes() == b"AEBCD"  # 99 < 100001 < 999999 < 1000000 < 1000001
+    assert not os.path.exists(parts)

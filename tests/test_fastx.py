@@ -74,3 +74,76 @@ def test_parse_gzip_roundtrip(tmp_path):
     recs = list(parse_file(str(p)))
     assert len(recs) == 2 and recs[0][1] == "ACGTacgtN"
     assert load_reads(str(p)) == recs
+
+
+def test_native_yields_final_record_without_trailing_newline(tmp_path):
+    """A FASTQ file whose last record lacks the trailing newline must still
+    classify that record (the portable parser yields it; the native window
+    loop appends one newline at EOF -- round-4 review finding)."""
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    recs = "".join(f"@n{i}\nACGTACGT\n+\nIIIIIIII\n" for i in range(50))
+    inp = tmp_path / "in.fq"
+    inp.write_bytes(recs.encode() + b"@last\nACGTACGT\n+\nIIIIIIII")  # no \n
+    cli_main(["-l", "8", "-i", str(inp), "-o", str(tmp_path / "o.fq"),
+              "-r", str(tmp_path / "r.fq"), "-m", "3", "--chunk_size", "1",
+              "--kernel", "scan"])
+    headers = [l for f in ("o.fq", "r.fq")
+               for l in (tmp_path / f).read_text().splitlines()[::4]]
+    assert len(headers) == 51 and "@last" in headers
+
+
+def test_native_truncated_plain_fastq_raises(tmp_path):
+    """A plain FASTQ cut off mid-record must raise like the portable parser
+    (io/fastx.py ValueError), not silently drop the partial record."""
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    recs = "".join(f"@t{i}\nACGTACGT\n+\nIIIIIIII\n" for i in range(50))
+    inp = tmp_path / "in.fq"
+    inp.write_bytes(recs.encode() + b"@cut\nACGTAC")  # header+seq only
+    with pytest.raises(ValueError, match="Truncated FASTQ record"):
+        cli_main(["-l", "8", "-i", str(inp), "-o", str(tmp_path / "o.fq"),
+                  "-m", "3", "--chunk_size", "1", "--kernel", "scan"])
+
+
+def test_giant_record_retry_reuses_slot_differential(tmp_path):
+    """A record vastly larger than the adaptive size estimate forces
+    consecutive n==0 window retries; the retry path must reuse ONE slot
+    (not march through the pool over windows pinned by in-flight
+    accumulators -- round-4 review finding). Differential: outputs must
+    equal the portable engine byte-for-byte."""
+    import json
+
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+    from ribodetector_tpu.config import DEFAULT_CONFIG
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    import numpy as np
+
+    rng = np.random.default_rng(47)
+    giant = "".join(rng.choice(list("ACGT"), size=150_000))
+    with open(tmp_path / "in.fq", "w") as fh:
+        for i in range(3000):
+            fh.write(f"@s{i}\n{'ACGT' * 15}\n+\n{'I' * 60}\n")
+            if i in (1000, 1001, 2000):  # giants mid-stream, after the EMA
+                fh.write(f"@g{i}\n{giant}\n+\n{'I' * len(giant)}\n")
+
+    cfg = json.load(open(DEFAULT_CONFIG))
+    cfg.setdefault("runtime", {})["native"] = False
+    json.dump(cfg, open(tmp_path / "port.json", "w"))
+
+    for tag, extra in (("nat", []), ("port", ["-c", str(tmp_path / "port.json")])):
+        cli_main(["-l", "100", "-i", str(tmp_path / "in.fq"),
+                  "-o", str(tmp_path / f"{tag}.fq"),
+                  "-r", str(tmp_path / f"{tag}r.fq"),
+                  "-m", "3", "--chunk_size", "1", "--kernel", "scan", *extra])
+    assert (tmp_path / "nat.fq").read_bytes() == (tmp_path / "port.fq").read_bytes()
+    assert (tmp_path / "natr.fq").read_bytes() == (tmp_path / "portr.fq").read_bytes()

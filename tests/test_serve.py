@@ -110,3 +110,49 @@ def test_serve_reuses_compiled_steps(tmp_path, rng):
     job2 = {**job, "output": [str(tmp_path / "o2.fq")], "ensure": "norrna"}
     assert srv.run_job(job2)["status"] == "ok"
     assert srv._predictors["recall"] is p
+
+
+def test_serve_failed_jobs_do_not_leak(tmp_path, rng):
+    """Failed jobs in the long-lived server must not accumulate threads or
+    file descriptors (round-4 review finding: a failing run previously
+    leaked the writer thread + deflate pool, prefetcher/decomp threads and
+    open handles per job)."""
+    import gzip
+    import os
+    import threading
+
+    from ribodetector_tpu.config import DEFAULT_CONFIG, ConfigParser
+    from ribodetector_tpu.serve import Server, build_arg_parser
+
+    seqs = random_reads(rng, 2000, lmin=30, lmax=60)
+    write_fastq(tmp_path / "good.fq", [f"s{i}" for i in range(2000)], seqs)
+    # a gz input truncated mid-stream fails partway THROUGH a run (the
+    # pipeline is already up: writer, prefetchers, handles all live)
+    blob = gzip.compress((tmp_path / "good.fq").read_bytes())
+    (tmp_path / "bad.fq.gz").write_bytes(blob[: len(blob) // 2])
+
+    args = build_arg_parser().parse_args(["-l", "60", "--kernel", "scan", "-m", "3"])
+    srv = Server(args, ConfigParser.from_json(DEFAULT_CONFIG))
+    good = {"input": [str(tmp_path / "good.fq")],
+            "output": [str(tmp_path / "o.fq")]}
+    bad = {"input": [str(tmp_path / "bad.fq.gz")],
+           "output": [str(tmp_path / "x.fq")]}
+    assert srv.run_job(good)["status"] == "ok"
+
+    def fd_count():
+        return len(os.listdir("/proc/self/fd"))
+
+    def run_bad():
+        # run_job raises per job; the serve() loop is what isolates errors
+        with pytest.raises(Exception, match="end-of-stream"):
+            srv.run_job(bad)
+
+    for _ in range(3):  # settle pools/caches
+        run_bad()
+    t0, f0 = threading.active_count(), fd_count()
+    for _ in range(6):
+        run_bad()
+    t1, f1 = threading.active_count(), fd_count()
+    assert t1 - t0 <= 2, (t0, t1)  # no per-job thread growth
+    assert f1 - f0 <= 2, (f0, f1)  # no per-job fd growth
+    assert srv.run_job(good)["status"] == "ok"  # still healthy
