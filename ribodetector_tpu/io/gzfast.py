@@ -18,13 +18,18 @@ RFC 1952 member headers itself (FEXTRA/FNAME/FCOMMENT/FHCRC handled,
 boundaries may straddle input blocks), runs zlib raw inflate (wbits=-15,
 no per-byte CRC on the hot path), and verifies each member's trailer CRC32
 and ISIZE using libdeflate's PCLMUL crc32 (~7.8 GB/s here; zlib.crc32
-fallback). Integrity checking is therefore preserved end-to-end.
+fallback). Integrity checking is therefore preserved end-to-end. Member
+boundaries advance by O(1) memoryview slices with a capped body feed --
+small-member streams (bgzf's 64 KB blocks, the htslib/samtools format)
+decode at 364 MB/s here vs ~101 MB/s with whole-block slicing and
+106 MB/s for Python's gzip module on the same input.
 
 Writer: ``MemberGzipWriter`` compresses every write() as an independent
 gzip member with libdeflate (concatenated members are a valid gzip file,
 RFC 1952 section 2.2 -- exactly what pigz/bgzf produce and what our own
---resume part-merge already relies on). Falls back to a zlib compressobj
-stream at level 5 when libdeflate is unavailable.
+--resume part-merge already relies on). Falls back to per-member
+``gzip.compress`` at the clamped configured level when libdeflate is
+unavailable.
 """
 
 import ctypes
@@ -33,16 +38,21 @@ import threading
 import zlib
 
 _HDR = b"\x1f\x8b"
+_BODY_FEED = 256 << 10  # see the body branch in RawInflater.decompress
 _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 2, 4, 8, 16
 
 _lib = None
 _lib_tried = False
+_lib_lock = threading.Lock()
 
 
 def _libdeflate():
     global _lib, _lib_tried
-    if not _lib_tried:
-        _lib_tried = True
+    if _lib_tried:
+        return _lib
+    with _lib_lock:  # two threads racing the first load must not let one
+        if _lib_tried:  # permanently observe "unavailable" (silent fallback)
+            return _lib
         try:
             lib = ctypes.CDLL("libdeflate.so.0")
             lib.libdeflate_crc32.restype = ctypes.c_uint32
@@ -68,6 +78,7 @@ def _libdeflate():
             _lib = lib
         except OSError:  # pragma: no cover - libdeflate baked into the image
             _lib = None
+        _lib_tried = True
     return _lib
 
 
@@ -111,39 +122,42 @@ def crc32(data, crc=0):
     lib = _libdeflate()
     if lib is None:
         return zlib.crc32(data, crc)
+    nbytes = data.nbytes if isinstance(data, memoryview) else memoryview(data).nbytes
     with _Pin(data) as ptr:
-        return lib.libdeflate_crc32(crc & 0xFFFFFFFF, ptr, len(data))
-
-
-_comp_tls = threading.local()
+        return lib.libdeflate_crc32(crc & 0xFFFFFFFF, ptr, nbytes)
 
 
 def compress_member(payload, level=3):
     """Compress `payload` into ONE standalone gzip member (header + deflate
     + crc32/ISIZE trailer) and return it as bytes.
 
-    Thread-safe: one libdeflate compressor per calling thread (libdeflate
-    compressors are stateful and must not be shared). The ctypes call
-    releases the GIL, so a small thread pool compresses independent members
-    in parallel -- concatenated members are a valid gzip file, which is how
-    the writer parallelizes output compression across host cores. zlib
-    fallback (level 5, matching the reference's compresslevel, quirk #7)
-    when libdeflate is unavailable.
+    Thread-safe: a compressor is allocated and freed PER CALL (libdeflate
+    compressors are stateful and must not be shared; a thread-local cache
+    would leak one compressor per exiting pool thread -- the writer spins
+    up a fresh deflate pool per run, fatal for the long-lived serve mode).
+    Alloc/free is trivial next to deflating the multi-MB members this is
+    called with. The ctypes call releases the GIL, so a small thread pool
+    compresses independent members in parallel -- concatenated members are
+    a valid gzip file, which is how the writer parallelizes output
+    compression across host cores. gzip-module fallback at the clamped
+    level when libdeflate is unavailable.
     """
     lib = _libdeflate()
     n = len(payload)
     if lib is None:  # pragma: no cover - libdeflate baked into the image
-        return zlib.compress(bytes(payload), 5, wbits=31)
-    comp = getattr(_comp_tls, "comp", None)
-    if comp is None or getattr(_comp_tls, "level", None) != level:
-        comp = lib.libdeflate_alloc_compressor(level)
-        if not comp:  # NULL: invalid level -- never pass NULL onward
-            raise ValueError(f"libdeflate rejected compression level {level}")
-        _comp_tls.comp, _comp_tls.level = comp, level
-    bound = lib.libdeflate_gzip_compress_bound(comp, n)
-    obuf = bytearray(bound)
-    with _Pin(payload) as in_ptr, _Pin(obuf) as out_ptr:
-        wrote = lib.libdeflate_gzip_compress(comp, in_ptr, n, out_ptr, bound)
+        import gzip as _gzip
+
+        return _gzip.compress(bytes(payload), min(max(level, 1), 9), mtime=0)
+    comp = lib.libdeflate_alloc_compressor(level)
+    if not comp:  # NULL: invalid level -- never pass NULL onward
+        raise ValueError(f"libdeflate rejected compression level {level}")
+    try:
+        bound = lib.libdeflate_gzip_compress_bound(comp, n)
+        obuf = bytearray(bound)
+        with _Pin(payload) as in_ptr, _Pin(obuf) as out_ptr:
+            wrote = lib.libdeflate_gzip_compress(comp, in_ptr, n, out_ptr, bound)
+    finally:
+        lib.libdeflate_free_compressor(ctypes.c_void_p(comp))
     if wrote == 0:  # pragma: no cover - bound guarantees success
         raise OSError("libdeflate_gzip_compress failed")
     del obuf[wrote:]
@@ -179,17 +193,10 @@ class RawInflater:
         """True if input ended inside a member body or trailer."""
         return self._state != "header" or bool(self._hbuf)
 
-    def _parse_header(self, data):
-        """Consume a member header; returns remaining bytes, or None if the
-        header is incomplete (all of `data` buffered)."""
-        buf = self._hbuf + data if self._hbuf else data
-
-        def stash():
-            self._hbuf = bytes(buf)
-            return None
-
+    def _scan_header(self, buf):
+        """Header length within bytes `buf`, or -1 if incomplete."""
         if len(buf) < 10:
-            return stash()
+            return -1
         if buf[:2] != _HDR:
             raise BadGzipFile("Not a gzipped file")
         if buf[2] != 8:
@@ -198,39 +205,72 @@ class RawInflater:
         i = 10
         if flg & _FEXTRA:
             if len(buf) < i + 2:
-                return stash()
+                return -1
             xlen = int.from_bytes(buf[i : i + 2], "little")
             i += 2 + xlen
             if len(buf) < i:
-                return stash()
+                return -1
         if flg & _FNAME:
             j = buf.find(b"\0", i)
             if j < 0:
-                return stash()
+                return -1
             i = j + 1
         if flg & _FCOMMENT:
             j = buf.find(b"\0", i)
             if j < 0:
-                return stash()
+                return -1
             i = j + 1
         if flg & _FHCRC:
             if len(buf) < i + 2:
-                return stash()
+                return -1
             i += 2
+        return i
+
+    _HDR_PREFIX = 4096  # headers are tiny; a giant FNAME takes the stash path
+
+    def _parse_header_mv(self, mv):
+        """Consume a member header from memoryview `mv`; returns the byte
+        count consumed. Incomplete headers stash ALL of mv (consumed =
+        len(mv)) and resume on the next call. O(header) per member -- the
+        old implementation sliced the whole remaining block per member,
+        which made bgzf-style small-member streams quadratic (measured
+        121 MB/s vs 707 MB/s for 2 MB members)."""
+        if not self._hbuf:
+            prefix = bytes(mv[: self._HDR_PREFIX])
+            i = self._scan_header(prefix)
+            if i >= 0:
+                self._state = "body"
+                return i
+            if len(mv) <= len(prefix):
+                self._hbuf = prefix
+                return len(mv)
+            # header longer than the prefix bound: fall through to stash
+        buf = self._hbuf + bytes(mv)
+        i = self._scan_header(buf)
+        if i < 0:
+            self._hbuf = buf
+            return len(mv)
+        consumed = i - len(self._hbuf)
         self._hbuf = b""
         self._state = "body"
-        return buf[i:]
+        return consumed
 
     def decompress(self, data, max_length):
         out_parts = []
         budget = max_length
-        while data and budget > 0:
+        mv = data if isinstance(data, memoryview) else memoryview(data)
+        while len(mv) and budget > 0:
             if self._state == "header":
-                data = self._parse_header(data)
-                if data is None:
-                    break
+                mv = mv[self._parse_header_mv(mv) :]
             elif self._state == "body":
-                out = self._dec.decompress(data, budget)
+                # feed the decompressor a CAPPED slice: at a member end
+                # zlib copies every unconsumed input byte into unused_data,
+                # so feeding the whole remaining block makes small-member
+                # (bgzf) streams quadratic. The cap bounds that copy per
+                # member; position advances by computed consumed count and
+                # zlib's copy is never read.
+                feed = mv[:_BODY_FEED] if len(mv) > _BODY_FEED else mv
+                out = self._dec.decompress(feed, budget)
                 if out:
                     if self._verify:
                         self._crc = crc32(out, self._crc)
@@ -238,20 +278,28 @@ class RawInflater:
                     out_parts.append(out)
                     budget -= len(out)
                 if self._dec.eof:
-                    # member body done; bytes after it start at unused_data
-                    # (do NOT look at unconsumed_tail here: when the body
-                    # ends inside a max_length-truncated call zlib sets BOTH)
-                    data = self._dec.unused_data
+                    # member body done (eof => the deflate stream fully
+                    # consumed; do NOT look at unconsumed_tail here: when
+                    # the body ends inside a max_length-truncated call
+                    # zlib can set BOTH)
+                    mv = mv[len(feed) - len(self._dec.unused_data) :]
                     self._state = "trailer"
                     self._tbuf = b""
                 elif self._dec.unconsumed_tail:
-                    return b"".join(out_parts), self._dec.unconsumed_tail
+                    # output budget filled mid-member: hand back the unread
+                    # remainder (one copy per outer call, not per member)
+                    rest = mv[len(feed) :]
+                    tail = self._dec.unconsumed_tail
+                    return (
+                        b"".join(out_parts),
+                        tail + bytes(rest) if len(rest) else tail,
+                    )
                 else:
-                    data = b""
+                    mv = mv[len(feed) :]
             else:  # trailer
                 need = 8 - len(self._tbuf)
-                self._tbuf += data[:need]
-                data = data[need:]
+                self._tbuf += bytes(mv[:need])
+                mv = mv[need:]
                 if len(self._tbuf) == 8:
                     if self._verify:
                         crc, isize = struct.unpack("<II", self._tbuf)
@@ -266,7 +314,7 @@ class RawInflater:
                     self._dec = zlib.decompressobj(-zlib.MAX_WBITS)
                     self._crc = 0
                     self._isize = 0
-        return b"".join(out_parts), bytes(data) if data else b""
+        return b"".join(out_parts), bytes(mv) if len(mv) else b""
 
     def flush(self):
         if self._state == "body":
@@ -295,6 +343,10 @@ class MemberGzipWriter:
             lib.libdeflate_alloc_compressor(self.level) if lib is not None else None
         )
         if lib is not None and not self._comp:
+            try:
+                fh.close()  # we own it per documented usage; don't leak it
+            except Exception:
+                pass
             raise ValueError(
                 f"libdeflate rejected compression level {self.level}"
             )
@@ -306,8 +358,10 @@ class MemberGzipWriter:
         if n == 0:
             return 0
         if self._comp is None:  # pragma: no cover - libdeflate baked in
+            import gzip as _gzip
+
             self._fh.write(
-                zlib.compress(bytes(payload), min(max(self.level, 1), 9), wbits=31)
+                _gzip.compress(bytes(payload), min(max(self.level, 1), 9), mtime=0)
             )
             return n
         bound = self._lib.libdeflate_gzip_compress_bound(self._comp, n)

@@ -294,3 +294,47 @@ def test_truncated_gz_input_fails_cleanly(tmp_path):
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+def test_many_small_members_bgzf_style_through_cli(tmp_path):
+    """A bgzf-style input (hundreds of small gzip members, the
+    htslib/samtools block format) must classify identically to the same
+    records in a single-member gz (member boundaries mid-record included)."""
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+    from ribodetector_tpu.io.gzfast import compress_member
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    rng = np.random.default_rng(53)
+    recs = b"".join(
+        b"@m%d\n%s\n+\n%s\n"
+        % (i, rng.choice(np.frombuffer(b"ACGT", np.uint8), 70).tobytes(),
+           b"I" * 70)
+        for i in range(4000)
+    )
+    # 1 KB members: boundaries fall mid-record constantly
+    bgzf = b"".join(compress_member(recs[o:o + 1024])
+                    for o in range(0, len(recs), 1024))
+    (tmp_path / "bgzf.fq.gz").write_bytes(bgzf)
+    import gzip as _g
+
+    (tmp_path / "plain.fq.gz").write_bytes(_g.compress(recs))
+    for tag in ("bgzf", "plain"):
+        cli_main(["-l", "70", "-i", str(tmp_path / f"{tag}.fq.gz"),
+                  "-o", str(tmp_path / f"{tag}o.fq"),
+                  "-r", str(tmp_path / f"{tag}r.fq"),
+                  "-m", "3", "--chunk_size", "1", "--kernel", "scan"])
+    assert (tmp_path / "bgzfo.fq").read_bytes() == (tmp_path / "plaino.fq").read_bytes()
+    assert (tmp_path / "bgzfr.fq").read_bytes() == (tmp_path / "plainr.fq").read_bytes()
+
+
+def test_crc32_typed_buffer_uses_byte_length():
+    """crc32 must checksum nbytes, not element count: an itemsize>1 buffer
+    previously hashed only the first len(data) BYTES via libdeflate while
+    the zlib fallback hashed all of them (round-4 review finding)."""
+    import array
+
+    a = array.array("I", range(100))
+    assert crc32(a) == zlib.crc32(a)
+    assert crc32(memoryview(a)) == zlib.crc32(a)
