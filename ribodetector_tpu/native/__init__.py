@@ -44,13 +44,14 @@ def _load():
             p = ctypes.POINTER
             lib.rd_parse_fastq.restype = i64
             lib.rd_parse_fastq.argtypes = [
-                ctypes.c_char_p, i64, i64, ctypes.c_int32,
+                ctypes.c_char_p, i64, ctypes.c_int32, i64, ctypes.c_int32,
                 p(ctypes.c_int64), p(ctypes.c_uint8), p(ctypes.c_int32),
                 p(ctypes.c_uint8), p(ctypes.c_int64),
             ]
             lib.rd_parse_fastq_b5.restype = i64
             lib.rd_parse_fastq_b5.argtypes = [
-                ctypes.c_char_p, i64, i64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_char_p, i64, ctypes.c_int32, i64, ctypes.c_int32,
+                ctypes.c_int32,
                 p(ctypes.c_int64), p(ctypes.c_uint8), p(ctypes.c_int32),
                 p(ctypes.c_uint8), p(ctypes.c_int64),
             ]
@@ -62,8 +63,6 @@ def _load():
                 p(ctypes.c_int64), p(ctypes.c_uint8), p(ctypes.c_int32),
                 p(ctypes.c_int64), p(ctypes.c_int64),
             ]
-            lib.rd_count_newlines.restype = i64
-            lib.rd_count_newlines.argtypes = [ctypes.c_char_p, i64]
             lib.rd_gather_records.restype = i64
             lib.rd_gather_records.argtypes = [
                 ctypes.c_char_p, p(ctypes.c_int64), p(ctypes.c_int64), i64,
@@ -85,12 +84,13 @@ def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def parse_fastq_chunk(data: bytes, max_len: int):
+def parse_fastq_chunk(data: bytes, max_len: int, at_eof=True):
     """Parse+encode a decompressed FASTQ byte buffer in one native pass.
 
     Returns (offsets [n,2] int64, tokens [n,max_len] uint8, lengths [n] int32,
     clean [n] uint8, consumed int). `consumed` is the resume offset past the
-    last complete record (tail bytes belong to the next chunk).
+    last complete record (tail bytes belong to the next chunk). at_eof
+    finalizes an unterminated final record (default: whole-buffer use).
     """
     lib = _load()
     n = len(data)
@@ -101,7 +101,7 @@ def parse_fastq_chunk(data: bytes, max_len: int):
     clean = np.empty(max_records, np.uint8)
     consumed = np.zeros(1, np.int64)
     nrec = lib.rd_parse_fastq(
-        data, n, max_records, max_len,
+        data, n, 1 if at_eof else 0, max_records, max_len,
         _ptr(offsets, ctypes.c_int64), _ptr(tokens, ctypes.c_uint8),
         _ptr(lengths, ctypes.c_int32), _ptr(clean, ctypes.c_uint8),
         _ptr(consumed, ctypes.c_int64),
@@ -120,7 +120,7 @@ def b5_packed_len(max_len: int) -> int:
     return (max_len + 2) // 3
 
 
-def parse_fastq_chunk_b5(data: bytes, max_len: int):
+def parse_fastq_chunk_b5(data: bytes, max_len: int, at_eof=True):
     """Like parse_fastq_chunk but tokens come back base-5 packed
     ([n, (max_len+2)//3] uint8, 3 tokens/byte, pad trio byte = 124)."""
     lib = _load()
@@ -133,7 +133,7 @@ def parse_fastq_chunk_b5(data: bytes, max_len: int):
     clean = np.empty(max_records, np.uint8)
     consumed = np.zeros(1, np.int64)
     nrec = lib.rd_parse_fastq_b5(
-        data, n, max_records, max_len, pl,
+        data, n, 1 if at_eof else 0, max_records, max_len, pl,
         _ptr(offsets, ctypes.c_int64), _ptr(packed, ctypes.c_uint8),
         _ptr(lengths, ctypes.c_int32), _ptr(clean, ctypes.c_uint8),
         _ptr(consumed, ctypes.c_int64),

@@ -48,6 +48,57 @@ const Lut LUT;
 
 extern "C" {
 
+// Shared FASTQ record framing: skips blank / whitespace-only separator
+// lines between records (ADVANCING *consumed past them -- the portable
+// parser treats them as empty headers and skips them, io/fastx.py), then
+// collects one record's 4 stripped lines. With at_eof, a final line
+// missing its newline terminates at buffer end IF it is the 4th line (a
+// record cut off earlier than that stays unframed -- the caller surfaces
+// the portable parser's Truncated error). Returns 1 when a record was
+// framed, else 0 (blanks may still have advanced p/*consumed).
+static inline int frame_fastq(
+    const char* base, const char** pp, const char* end, int32_t at_eof,
+    const char* line_start[4], const char* line_end[4],
+    bool* rec_clean, const char** rec_next, int64_t* consumed)
+{
+    const char* p = *pp;
+    // blank-line skip (counts as consumed progress even with no record)
+    while (p < end) {
+        const char* nl = find_nl(p, end);
+        const char* e = nl ? nl : (at_eof ? end : nullptr);
+        if (!e) { *pp = p; return 0; }  // partial line, more input coming
+        const char* t = e;
+        while (t > p && ws(t[-1])) --t;
+        if (t != p) break;  // non-blank: a record starts here
+        p = nl ? nl + 1 : end;
+        *consumed = p - base;
+    }
+    *pp = p;
+    if (p >= end) return 0;
+    bool cl = true;
+    const char* q = p;
+    for (int li = 0; li < 4; ++li) {
+        line_start[li] = q;
+        const char* nl = find_nl(q, end);
+        const char* e;
+        if (nl) {
+            e = nl;
+        } else if (at_eof && li == 3 && q < end) {
+            e = end;  // unterminated final qual line: still a line
+            cl = false;  // not a verbatim '\n'-terminated slice
+        } else {
+            return 0;  // mid-record buffer end (or truncated at EOF)
+        }
+        const char* le = e;
+        while (le > q && ws(le[-1])) { --le; cl = false; }
+        line_end[li] = le;
+        q = nl ? nl + 1 : end;
+    }
+    *rec_clean = cl;
+    *rec_next = q;
+    return 1;
+}
+
 // Parse up to max_records FASTQ records from buf[0..n).
 // Outputs (caller-allocated):
 //   offsets: int64[max_records * 2]  -- record [start, end) byte ranges
@@ -55,10 +106,13 @@ extern "C" {
 //   lengths: int32[max_records]
 //   clean:   uint8[max_records]
 // Returns the number of complete records parsed; *consumed is set to the
-// byte offset just past the last complete record (resume point for
-// streaming). Malformed structure (EOF mid-record) simply stops there.
+// byte offset just past the last complete record OR past trailing blank
+// lines (resume point for streaming). at_eof finalizes an unterminated
+// final record; a record cut off before its 4th line stays unconsumed so
+// the caller can raise the truncation error.
 int64_t rd_parse_fastq(
-    const char* buf, int64_t n, int64_t max_records, int32_t max_len,
+    const char* buf, int64_t n, int32_t at_eof,
+    int64_t max_records, int32_t max_len,
     int64_t* offsets, uint8_t* tokens, int32_t* lengths, uint8_t* clean,
     int64_t* consumed)
 {
@@ -69,32 +123,14 @@ int64_t rd_parse_fastq(
     *consumed = 0;
 
     while (rec < max_records && p < end) {
-        const char* rec_start = p;
-        bool rec_clean = true;
         const char* line_start[4];
-        const char* line_end[4];  // exclusive, before newline / trailing ws
-        const char* q = p;
-        int li;
-        for (li = 0; li < 4; ++li) {
-            line_start[li] = q;
-            const char* nl = find_nl(q, end);
-            if (!nl) break;  // incomplete record at buffer end
-            const char* e = nl;
-            // rstrip: trailing whitespace (incl. \r) is not part of the line
-            while (e > q && ws(e[-1])) { --e; rec_clean = rec_clean && false; }
-            line_end[li] = e;
-            q = nl + 1;
-        }
-        if (li < 4) break;  // ran out of data mid-record
+        const char* line_end[4];
+        bool rec_clean;
+        const char* q;
+        if (!frame_fastq(base, &p, end, at_eof, line_start, line_end,
+                         &rec_clean, &q, consumed))
+            break;
 
-        // skip blank separator lines before a record (parser robustness,
-        // mirrors io/fastx.py's blank-line skip at record boundaries)
-        if (line_end[0] == line_start[0]) {
-            p = line_start[1];
-            continue;
-        }
-
-        // encode the sequence line
         const char* s = line_start[1];
         const char* se = line_end[1];
         int32_t L = static_cast<int32_t>(se - s);
@@ -104,7 +140,7 @@ int64_t rd_parse_fastq(
         for (; i < L; ++i) trow[i] = LUT.t[static_cast<unsigned char>(s[i])];
         for (; i < max_len; ++i) trow[i] = 4;
 
-        offsets[rec * 2] = rec_start - base;
+        offsets[rec * 2] = p - base;
         offsets[rec * 2 + 1] = q - base;
         lengths[rec] = L;
         clean[rec] = rec_clean ? 1 : 0;
@@ -123,8 +159,8 @@ int64_t rd_parse_fastq(
 // (ops/dispatch.py unpack_b5_tokens).
 // packed: uint8[max_records * packed_len], packed_len = (max_len + 2) / 3.
 int64_t rd_parse_fastq_b5(
-    const char* buf, int64_t n, int64_t max_records, int32_t max_len,
-    int32_t packed_len,
+    const char* buf, int64_t n, int32_t at_eof,
+    int64_t max_records, int32_t max_len, int32_t packed_len,
     int64_t* offsets, uint8_t* packed, int32_t* lengths, uint8_t* clean,
     int64_t* consumed)
 {
@@ -135,27 +171,13 @@ int64_t rd_parse_fastq_b5(
     *consumed = 0;
 
     while (rec < max_records && p < end) {
-        const char* rec_start = p;
-        bool rec_clean = true;
         const char* line_start[4];
         const char* line_end[4];
-        const char* q = p;
-        int li;
-        for (li = 0; li < 4; ++li) {
-            line_start[li] = q;
-            const char* nl = find_nl(q, end);
-            if (!nl) break;
-            const char* e = nl;
-            while (e > q && ws(e[-1])) { --e; rec_clean = rec_clean && false; }
-            line_end[li] = e;
-            q = nl + 1;
-        }
-        if (li < 4) break;
-
-        if (line_end[0] == line_start[0]) {
-            p = line_start[1];
-            continue;
-        }
+        bool rec_clean;
+        const char* q;
+        if (!frame_fastq(base, &p, end, at_eof, line_start, line_end,
+                         &rec_clean, &q, consumed))
+            break;
 
         const char* s = line_start[1];
         const char* se = line_end[1];
@@ -176,7 +198,7 @@ int64_t rd_parse_fastq_b5(
         }
         for (; j < packed_len; ++j) prow[j] = 124;  // 4 + 5*4 + 25*4
 
-        offsets[rec * 2] = rec_start - base;
+        offsets[rec * 2] = p - base;
         offsets[rec * 2 + 1] = q - base;
         lengths[rec] = L;
         clean[rec] = rec_clean ? 1 : 0;
@@ -198,8 +220,11 @@ int64_t rd_parse_fastq_b5(
 // output for FASTA is NOT a verbatim slice of the input -- so this parser
 // writes the NORMALIZED record text ("header\nSEQ\n") into `norm` and the
 // offsets index into that buffer (writers gather from it exactly like the
-// FASTQ path gathers from the raw window). norm never outgrows the input
-// (normalization only removes bytes), so norm_cap >= n suffices.
+// FASTQ path gathers from the raw window). Normalization can GROW the
+// text slightly: an empty-sequence record ">x\n" re-emits as ">x\n\n"
+// and an unterminated final line gains its newline, so the worst case is
+// 4/3 x the input -- callers size norm_cap accordingly
+// (FastaChunkStream allocates win_bytes * 4 / 3 + 16).
 //
 // at_eof: nonzero when buf ends the file -- finalizes the trailing record
 // (a last line without a newline counts as a line, like Python iteration).
@@ -235,7 +260,6 @@ int64_t rd_parse_fasta_b5(
 
     while (rec < max_records && p < end) {
         // find the record's header line (skip blanks / pre-header junk)
-        const char* rec_raw_start = p;
         const char* ls; const char* le; const char* nx;
         if (!next_line(p, ls, le, nx)) break;
         if (ls == le || *ls != '>') { p = nx; *consumed = p - buf; continue; }
@@ -243,7 +267,7 @@ int64_t rd_parse_fasta_b5(
         // collect sequence lines until the next header / end of data
         int64_t hdr_len = le - ls;
         int64_t norm_start = nw;
-        if (nw + hdr_len + 1 > norm_cap) break;  // norm full (caller grows)
+        if (nw + hdr_len + 1 > norm_cap) break;  // norm full: record re-carried
         memcpy(norm + nw, ls, static_cast<size_t>(hdr_len));
         nw += hdr_len;
         norm[nw++] = '\n';
@@ -302,24 +326,9 @@ int64_t rd_parse_fasta_b5(
         ++rec;
         p = resume;
         *consumed = p - buf;
-        (void)rec_raw_start;
     }
     *norm_used = nw;
     return rec;
-}
-
-// Count newline characters in buf[0..n) (for sizing record arrays).
-int64_t rd_count_newlines(const char* buf, int64_t n) {
-    int64_t c = 0;
-    const char* p = buf;
-    const char* end = buf + n;
-    while (p < end) {
-        const char* q = static_cast<const char*>(memchr(p, '\n', end - p));
-        if (!q) break;
-        ++c;
-        p = q + 1;
-    }
-    return c;
 }
 
 // Gather selected record slices into one output buffer.

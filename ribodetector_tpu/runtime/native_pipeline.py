@@ -99,7 +99,6 @@ class FastqChunkStream:
         self._fh = open(path, "rb")
         self._gz = get_seq_format(path).endswith("gz")
         self._carry = b""  # decompressed bytes awaiting window placement
-        self._nl_appended = False  # one-shot EOF newline fix (see _eof_no_record)
         self._tail = b""  # decompressed partial record from the last window
         self._eof = False
         # gz inputs: inflate runs in its own thread so decompression of
@@ -211,6 +210,7 @@ class FastqChunkStream:
         n = lib.rd_parse_fastq_b5(
             buf,
             pos,
+            1 if at_eof else 0,
             self.cap,
             self.max_len,
             pl,
@@ -224,29 +224,25 @@ class FastqChunkStream:
         return n, int(consumed[0]), win
 
     def _eof_no_record(self, win, pos):
-        """EOF reached with leftover bytes that parse to no record. FASTQ:
-        a final record without a trailing newline is legitimate (the
-        portable parser yields it -- Python line iteration yields the last
-        unterminated line), so append one newline and re-parse once;
-        anything still unparseable is a truncated record, which the
-        portable path raises on too (io/fastx.py seq_parser). Returns True
-        to re-parse the (same) window."""
-        if (
-            not self._nl_appended
-            and pos < self.win_bytes
-            and win[pos - 1] != 0x0A
-        ):
-            self._nl_appended = True
-            win[pos] = 0x0A
-            self._tail = bytes(win[: pos + 1])
-            return True
+        """EOF with leftover bytes that frame no record. The native parser
+        consumes blank separator lines itself and (via its at_eof flag)
+        finalizes an unterminated final record, so any remainder here is a
+        genuinely truncated record -- raise the portable parser's error
+        (io/fastx.py seq_parser)."""
         if pos >= self.win_bytes:
             raise RuntimeError(
                 "record larger than the {} MB parse window".format(
                     self.win_bytes >> 20
                 )
             )
-        head = bytes(win[: min(pos, 120)]).split(b"\n")[0][:80]
+        blob = bytes(win[: min(pos, 1 << 16)])
+        if b"\n" not in blob and b"\r" in blob:
+            raise ValueError(
+                "input uses lone-CR (classic Mac) line endings, which the "
+                "native parser does not support; convert the file (e.g. "
+                "tr '\\r' '\\n') or set runtime.native=false"
+            )
+        head = blob.split(b"\n")[0][:80]
         raise ValueError(
             "Truncated FASTQ record at end of file: {!r}".format(head)
         )
@@ -283,6 +279,11 @@ class FastqChunkStream:
             n, used, data = self._parse_window(si, pos, at_eof)
             if n == 0:
                 self._si = si  # reuse this slot on every no-record path
+                if used > 0:  # separator lines consumed, no record yet
+                    self._tail = bytes(win[used:pos])
+                    if at_eof and not self._tail:
+                        return
+                    continue
                 if at_eof:
                     if self._eof_no_record(win, pos):
                         continue
@@ -333,7 +334,10 @@ class FastaChunkStream(FastqChunkStream):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self._norms = [bytearray(self.win_bytes) for _ in range(self.slots)]
+        # normalization can GROW text (\">x\\n\" -> \">x\\n\\n\"; an\n        # unterminated final line gains its newline): worst case 4/3 x
+        self._norms = [
+            bytearray(self.win_bytes * 4 // 3 + 16) for _ in range(self.slots)
+        ]
 
     def _parse_window(self, si, pos, at_eof):
         import ctypes
@@ -370,7 +374,16 @@ class FastaChunkStream(FastqChunkStream):
         """FASTA trailing junk / empty-sequence record: silently dropped,
         matching the portable parser (io/fastx.py seq_parser FASTA arm) --
         rd_parse_fasta_b5 already finalizes unterminated trailing records
-        itself via its at_eof flag."""
+        itself via its at_eof flag. Exception: a lone-CR (classic Mac)
+        file looks like one header-only line to the native parser and
+        would silently drop EVERY record; fail loudly instead."""
+        blob = bytes(win[: min(pos, 1 << 16)])
+        if b"\n" not in blob and b"\r" in blob:
+            raise ValueError(
+                "input uses lone-CR (classic Mac) line endings, which the "
+                "native parser does not support; convert the file (e.g. "
+                "tr '\\r' '\\n') or set runtime.native=false"
+            )
         return False
 
 

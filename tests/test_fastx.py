@@ -147,3 +147,44 @@ def test_giant_record_retry_reuses_slot_differential(tmp_path):
                   "-m", "3", "--chunk_size", "1", "--kernel", "scan", *extra])
     assert (tmp_path / "nat.fq").read_bytes() == (tmp_path / "port.fq").read_bytes()
     assert (tmp_path / "natr.fq").read_bytes() == (tmp_path / "portr.fq").read_bytes()
+
+
+def test_trailing_blank_lines_via_cli(tmp_path):
+    """FASTQ ending in blank/whitespace-only lines is valid input (the
+    portable parser skips them); previously the native stream raised a
+    spurious Truncated error after yielding every real record."""
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    recs = "".join(f"@b{i}\nACGTACGT\n+\nIIIIIIII\n" for i in range(40))
+    inp = tmp_path / "in.fq"
+    inp.write_bytes(recs.encode() + b"\n \n\n")
+    cli_main(["-l", "8", "-i", str(inp), "-o", str(tmp_path / "o.fq"),
+              "-r", str(tmp_path / "r.fq"), "-m", "3", "--chunk_size", "1",
+              "--kernel", "scan"])
+    n = sum(1 for f in ("o.fq", "r.fq")
+            for l in (tmp_path / f).read_text().splitlines()[::4] if l)
+    assert n == 40
+
+
+def test_lone_cr_line_endings_fail_loudly(tmp_path):
+    """Classic-Mac lone-CR files are not supported by the native parser:
+    they must raise a clear error with a workaround, never silently drop
+    records (FASTA previously parsed 0 records silently)."""
+    from ribodetector_tpu import native
+    from ribodetector_tpu.cli import main as cli_main
+
+    if not native.available():
+        pytest.skip("native extension unavailable")
+    (tmp_path / "in.fa").write_bytes(b">r1\rACGTACGT\r>r2\rGGGGTTTT\r")
+    with pytest.raises(ValueError, match="lone-CR"):
+        cli_main(["-l", "8", "-i", str(tmp_path / "in.fa"),
+                  "-o", str(tmp_path / "o.fa"), "-m", "3",
+                  "--chunk_size", "1", "--kernel", "scan"])
+    (tmp_path / "in.fq").write_bytes(b"@r1\rACGT\r+\rIIII\r")
+    with pytest.raises(ValueError, match="lone-CR"):
+        cli_main(["-l", "8", "-i", str(tmp_path / "in.fq"),
+                  "-o", str(tmp_path / "o.fq"), "-m", "3",
+                  "--chunk_size", "1", "--kernel", "scan"])

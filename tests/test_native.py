@@ -43,10 +43,31 @@ def test_record_slices_are_verbatim():
 
 def test_partial_record_at_buffer_end():
     data = make_fastq(["ACGT", "GGTT"])
-    cut = data[:-3]  # truncate inside the last record
-    offsets, tokens, lengths, clean, consumed = native.parse_fastq_chunk(cut, 10)
+    cut = data[:-3]  # cut inside the last record's qual line
+    # streaming (more input coming): the partial record stays unconsumed
+    offsets, tokens, lengths, clean, consumed = native.parse_fastq_chunk(
+        cut, 10, at_eof=False
+    )
     assert len(offsets) == 1
     assert consumed == offsets[0, 1]  # resume point after record 0
+    # at EOF: an unterminated final QUAL line still finalizes the record
+    # (the portable parser yields it -- Python line iteration yields the
+    # last unterminated line); a record cut before its 4th line does not
+    offsets, _, lengths, clean, consumed = native.parse_fastq_chunk(cut, 10)
+    assert len(offsets) == 2 and lengths[1] == 4
+    assert clean[1] == 0  # not a verbatim newline-terminated slice
+    offsets, *_ = native.parse_fastq_chunk(data[:-8], 10)  # cut before qual
+    assert len(offsets) == 1
+
+
+def test_trailing_blank_lines_at_eof_consumed():
+    """Blank/whitespace-only lines after the last record must be consumed
+    (the portable parser skips them as empty headers); previously they
+    poisoned the stream with a spurious truncation error."""
+    data = make_fastq(["ACGT"]) + b"\n  \n\n"
+    offsets, _, _, _, consumed = native.parse_fastq_chunk(data, 10)
+    assert len(offsets) == 1
+    assert consumed == len(data)  # blanks consumed, clean EOF
 
 
 def test_crlf_records_flagged_dirty():
