@@ -1633,10 +1633,14 @@ class DistributedParts:
         for files in output_groups(p).values():
             for f in files:
                 parts_dir = f + ".parts"
-                with open(f, "wb") as out:
-                    if os.path.isdir(parts_dir):
+                if os.path.isdir(parts_dir):
+                    with open(f, "wb") as out:
                         for name in sorted(os.listdir(parts_dir), key=chunk_index):
                             with open(os.path.join(parts_dir, name), "rb") as part:
                                 shutil.copyfileobj(part, out, 8 << 20)
-                if os.path.isdir(parts_dir):
                     shutil.rmtree(parts_dir)
+                elif not os.path.exists(f):
+                    # empty run: the output must still exist -- but NEVER
+                    # truncate a pre-existing file that has no parts to
+                    # rebuild it from (defense against misconfigured calls)
+                    open(f, "wb").close()

@@ -133,10 +133,13 @@ class Predictor:
             kind = (getattr(self.device, "device_kind", "") or "").lower()
             want = len([d for d in str(deviceid).split(",") if d != ""])
             if self.device.platform in ("tpu", "axon") or "tpu" in kind:
-                if n_dev != want:
+                # some TPU generations expose multiple cores (jax devices)
+                # per chip id, so require a positive multiple, not equality
+                if n_dev == 0 or n_dev % want != 0:
                     raise RuntimeError(
                         f"--deviceid {deviceid} did not take effect: "
-                        f"{n_dev} local TPU device(s) visible, expected {want}"
+                        f"{n_dev} local TPU device(s) visible, expected a "
+                        f"positive multiple of {want} (cores per chip)"
                     )
             else:
                 self.logger.warning(
@@ -471,6 +474,16 @@ class Predictor:
         self.distributed = getattr(self.args, "coordinator", None) is not None
         self.hosts = max(1, int(getattr(self.args, "hosts", 1) or 1))
         self.host_id = int(getattr(self.args, "host_id", 0) or 0)
+        if self.distributed and self.hosts < 2:
+            # the CLI enforces --num-hosts >= 2; programmatic callers must
+            # not reach _finalize_distributed with a single host (its merge
+            # would rebuild outputs from nonexistent parts)
+            raise RuntimeError("--coordinator requires hosts >= 2")
+        if self.chunk_size is not None and int(self.chunk_size) < 1:
+            raise RuntimeError(
+                f"--chunk_size must be >= 1, got {self.chunk_size} "
+                "(0 would silently process nothing)"
+            )
         if self.hosts > 1:
             if not 0 <= self.host_id < self.hosts:
                 raise RuntimeError(
@@ -674,7 +687,10 @@ class Predictor:
 
         from ribodetector_tpu.runtime.native_pipeline import DistributedParts
 
-        timeout = getattr(self.args, "barrier_timeout", None) or 3600
+        timeout = getattr(self.args, "barrier_timeout", None)
+        if timeout is None:
+            timeout = 3600
+        # (an explicit 0 means fail-fast: Thread.join(0) returns immediately)
 
         def bounded(fn, what):
             box = {}
@@ -821,16 +837,20 @@ class Predictor:
                 )
             )
             fhs = self._open_outputs()
-            num_batches = -(-num_seqs // self.batch_size) if num_seqs else 0
-            for r1_b, r2_b, l1, l2 in tqdm(
-                self._paired_batches(r1_reads, r2_reads), total=num_batches
-            ):
-                r1_dict, r2_dict = separate_paired_reads(
-                    r1_b, l1, r2_b, l2, self.args.ensure
-                )
-                self._emit_paired(fhs, r1_dict, r2_dict, counts)
-            self._log_summary(num_seqs, counts)
-            self._close_outputs(fhs)
+            try:
+                num_batches = -(-num_seqs // self.batch_size) if num_seqs else 0
+                for r1_b, r2_b, l1, l2 in tqdm(
+                    self._paired_batches(r1_reads, r2_reads), total=num_batches
+                ):
+                    r1_dict, r2_dict = separate_paired_reads(
+                        r1_b, l1, r2_b, l2, self.args.ensure
+                    )
+                    self._emit_paired(fhs, r1_dict, r2_dict, counts)
+                self._log_summary(num_seqs, counts)
+            finally:
+                # always close (serve mode keeps the process alive across
+                # failed jobs; leaked handles leave .gz without trailers)
+                self._close_outputs(fhs)
         else:
             reads = load_reads(*self.input)
             num_seqs = len(reads)
@@ -840,14 +860,16 @@ class Predictor:
                 )
             )
             fhs = self._open_outputs()
-            num_batches = -(-num_seqs // self.batch_size) if num_seqs else 0
-            for batch, logits in tqdm(
-                self._single_batches(reads), total=num_batches
-            ):
-                buckets = separate_reads(batch, logits.argmax(1))
-                self._emit_single(fhs, buckets, counts)
-            self._log_summary(num_seqs, counts)
-            self._close_outputs(fhs)
+            try:
+                num_batches = -(-num_seqs // self.batch_size) if num_seqs else 0
+                for batch, logits in tqdm(
+                    self._single_batches(reads), total=num_batches
+                ):
+                    buckets = separate_reads(batch, logits.argmax(1))
+                    self._emit_single(fhs, buckets, counts)
+                self._log_summary(num_seqs, counts)
+            finally:
+                self._close_outputs(fhs)
 
     # -- chunked low-memory mode (detect.py:326-523)
 
@@ -856,40 +878,35 @@ class Predictor:
         num_read = 0
         fhs = None
         chunk_reads = self.batch_size * self.chunk_size
-        if self.is_paired:
-            for r1_chunk, r2_chunk in get_pairedread_chunks(
-                *self.input, chunk_size=chunk_reads
-            ):
-                if fhs is None:
-                    fhs = self._open_outputs()
-                n = min(len(r1_chunk), len(r2_chunk))
-                num_read += n
-                for r1_b, r2_b, l1, l2 in self._paired_batches(
-                    r1_chunk[:n], r2_chunk[:n]
+        try:
+            if self.is_paired:
+                for r1_chunk, r2_chunk in get_pairedread_chunks(
+                    *self.input, chunk_size=chunk_reads
                 ):
-                    r1_dict, r2_dict = separate_paired_reads(
-                        r1_b, l1, r2_b, l2, self.args.ensure
-                    )
-                    self._emit_paired(fhs, r1_dict, r2_dict, counts)
-                self.logger.info(
-                    "{}{}{} sequences finished!".format(
-                        colors.OKGREEN, num_read, colors.ENDC
-                    )
-                )
-        else:
-            for chunk in get_seq_chunks(*self.input, chunk_size=chunk_reads):
-                if fhs is None:
-                    fhs = self._open_outputs()
-                num_read += len(chunk)
-                for batch, logits in self._single_batches(chunk):
-                    buckets = separate_reads(batch, logits.argmax(1))
-                    self._emit_single(fhs, buckets, counts)
-                self.logger.info(
-                    "{}{}{} sequences finished!".format(
-                        colors.OKGREEN, num_read, colors.ENDC
-                    )
-                )
-        if fhs is None:
-            fhs = self._open_outputs()
-        self._log_summary(num_read, counts)
-        self._close_outputs(fhs)
+                    if fhs is None:
+                        fhs = self._open_outputs()
+                    n = min(len(r1_chunk), len(r2_chunk))
+                    num_read += n
+                    for r1_b, r2_b, l1, l2 in self._paired_batches(
+                        r1_chunk[:n], r2_chunk[:n]
+                    ):
+                        r1_dict, r2_dict = separate_paired_reads(
+                            r1_b, l1, r2_b, l2, self.args.ensure
+                        )
+                        self._emit_paired(fhs, r1_dict, r2_dict, counts)
+                    self._log_progress(num_read)
+            else:
+                for chunk in get_seq_chunks(*self.input, chunk_size=chunk_reads):
+                    if fhs is None:
+                        fhs = self._open_outputs()
+                    num_read += len(chunk)
+                    for batch, logits in self._single_batches(chunk):
+                        buckets = separate_reads(batch, logits.argmax(1))
+                        self._emit_single(fhs, buckets, counts)
+                    self._log_progress(num_read)
+            if fhs is None:
+                fhs = self._open_outputs()
+            self._log_summary(num_read, counts)
+        finally:
+            if fhs is not None:
+                self._close_outputs(fhs)

@@ -313,3 +313,42 @@ def test_pipeline_knob_validation(tmp_path, key, bad):
     p.load_model()
     with pytest.raises(RuntimeError, match=f"runtime.{key}"):
         p.detect()
+
+
+def test_chunk_size_zero_and_single_host_coordinator_rejected(tmp_path):
+    """--chunk_size 0 would silently process nothing; coordinator with
+    hosts<2 would let the merge epilogue truncate real outputs. Both are
+    programmatically reachable (SimpleNamespace callers) and must fail
+    loudly (round-4 review findings)."""
+    from types import SimpleNamespace
+
+    from ribodetector_tpu.config import ConfigParser, DEFAULT_CONFIG
+    from ribodetector_tpu.runtime import Predictor
+
+    inp = tmp_path / "in.fq"
+    inp.write_text("@a\nACGT\n+\nIIII\n")
+
+    def mkargs(**over):
+        base = dict(
+            len=60, input=[str(inp)], output=[str(tmp_path / "o.fq")],
+            rrna=None, ensure="none", threads=1, memory=3, chunk_size=1,
+            log=None, profile=False, trace_dir=None, resume=False,
+            semantics=None, kernel="scan", precision=None, buckets=None,
+            hosts=1, host_id=0, coordinator=None, num_hosts=None,
+            deviceid=None, config=None, gz_level=None, barrier_timeout=None,
+        )
+        base.update(over)
+        return SimpleNamespace(**base)
+
+    p = Predictor(ConfigParser.from_json(DEFAULT_CONFIG), mkargs(chunk_size=0))
+    p.load_model()
+    with pytest.raises(RuntimeError, match="chunk_size"):
+        p.detect()
+
+    p = Predictor(
+        ConfigParser.from_json(DEFAULT_CONFIG),
+        mkargs(coordinator="127.0.0.1:1", hosts=1),
+    )
+    p.load_model()
+    with pytest.raises(RuntimeError, match="hosts >= 2"):
+        p.detect()
