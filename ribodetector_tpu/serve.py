@@ -38,6 +38,8 @@ from types import SimpleNamespace
 
 
 def build_arg_parser():
+    # NOTE: the shared flags below mirror cli.build_arg_parser's choices
+    # and defaults -- keep them in sync when a flag changes there
     ap = argparse.ArgumentParser(
         prog="python -m ribodetector_tpu.serve",
         description="Long-lived rRNA detection server (JSONL on stdin/stdout)",
@@ -67,6 +69,11 @@ class Server:
     def __init__(self, args, config):
         self.args = args
         self.config = config
+        if getattr(args, "kernel", None) is not None:
+            # Predictor reads the kernel from config runtime (cli.py does
+            # this bridge too); do it here so DIRECT Server users get the
+            # kernel they asked for, not silently the config default
+            config.config.setdefault("runtime", {})["kernel"] = args.kernel
         self._predictors = {}  # weight key ("mcc"/"recall") -> Predictor
 
     def _job_args(self, req):
@@ -75,18 +82,28 @@ class Server:
             raise ValueError(f"ensure must be one of {_ENSURES}, got {ensure!r}")
         inputs = req.get("input")
         outputs = req.get("output")
+        rrna = req.get("rrna")
+        for name, v in (("input", inputs), ("output", outputs), ("rrna", rrna)):
+            if isinstance(v, (str, bytes)):
+                raise ValueError(
+                    f"'{name}' must be a LIST of paths, got a string "
+                    f"(list(...) would explode it per character)"
+                )
         if not inputs or not outputs:
             raise ValueError("request needs non-empty 'input' and 'output' lists")
         chunk_size = req.get("chunk_size")
+        # pass 0 through so Predictor.detect's >= 1 guard rejects it
+        # loudly instead of a falsy-coercion silently meaning whole-file
+        chunk_size = None if chunk_size is None else int(chunk_size)
         return SimpleNamespace(
             len=self.args.len,
             input=list(inputs),
             output=list(outputs),
-            rrna=list(req["rrna"]) if req.get("rrna") else None,
+            rrna=list(rrna) if rrna else None,
             ensure=ensure,
             threads=self.args.threads,
             memory=self.args.memory,
-            chunk_size=int(chunk_size) if chunk_size else None,
+            chunk_size=chunk_size,
             log=self.args.log,
             profile=False,
             trace_dir=None,
@@ -100,24 +117,38 @@ class Server:
             deviceid=None, config=self.args.config, barrier_timeout=None,
         )
 
+    def _resolved_state(self, key):
+        import os
+
+        from ribodetector_tpu.config import PACKAGE_DIR
+
+        f = self.config["state_file"].get(key)
+        if f and not os.path.isabs(f):
+            f = os.path.join(PACKAGE_DIR, f)
+        return os.path.normpath(f) if f else f
+
     def _predictor_for(self, job_args):
         # quirk #6: -e norrna selects the "recall" weights key
         key = "recall" if job_args.ensure == "norrna" else "mcc"
         if key not in self._predictors:
             from ribodetector_tpu.runtime import Predictor
 
-            # alias detection: the shipped config maps both keys to one
-            # file -- share the Predictor (and its compiled steps) then
+            # alias detection on RESOLVED paths: the shipped config maps
+            # both keys to one file -- share the Predictor (and its
+            # compiled steps) then
             other = "recall" if key == "mcc" else "mcc"
-            if other in self._predictors and self.config["state_file"].get(
+            if other in self._predictors and self._resolved_state(
                 key
-            ) == self.config["state_file"].get(other):
+            ) == self._resolved_state(other):
                 self._predictors[key] = self._predictors[other]
             else:
-                p = Predictor(self.config, self._job_args({"input": ["x"],
-                                                           "output": ["x"],
-                                                           "ensure":
-                                                           job_args.ensure}))
+                ctor_args = self._job_args({"input": ["x"], "output": ["x"],
+                                            "ensure": job_args.ensure})
+                if self._predictors:
+                    # get_logger reopens --log with mode='w': a SECOND
+                    # Predictor mid-serve must not wipe earlier job logs
+                    ctor_args.log = None
+                p = Predictor(self.config, ctor_args)
                 p.load_model()
                 self._predictors[key] = p
         return self._predictors[key]
@@ -128,9 +159,6 @@ class Server:
         # rebind the per-job fields on the long-lived Predictor
         p.args = job_args
         p.chunk_size = job_args.chunk_size
-        from ribodetector_tpu.runtime.profiling import StageTimer
-
-        p.timer = StageTimer(enabled=False)
         t0 = time.time()
         p.detect()
         num_read, counts = p._final

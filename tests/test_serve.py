@@ -156,3 +156,27 @@ def test_serve_failed_jobs_do_not_leak(tmp_path, rng):
     assert t1 - t0 <= 2, (t0, t1)  # no per-job thread growth
     assert f1 - f0 <= 2, (f0, f1)  # no per-job fd growth
     assert srv.run_job(good)["status"] == "ok"  # still healthy
+
+
+def test_serve_rejects_malformed_requests(tmp_path, rng):
+    """Scalar-string paths (would explode per character) and chunk_size 0
+    (would silently mean whole-file) answer status=error with actionable
+    messages; the server keeps serving."""
+    seqs = random_reads(rng, 20, lmin=20, lmax=50)
+    write_fastq(tmp_path / "in.fq", [f"s{i}" for i in range(20)], seqs)
+    good = {"id": 9, "input": [str(tmp_path / "in.fq")],
+            "output": [str(tmp_path / "ok.fq")]}
+    jobs = [
+        {"id": 1, "input": str(tmp_path / "in.fq"),  # scalar string
+         "output": [str(tmp_path / "o.fq")]},
+        {"id": 2, "input": [str(tmp_path / "in.fq")],
+         "output": [str(tmp_path / "o.fq")], "chunk_size": 0},
+        {"id": 3, "input": [str(tmp_path / "in.fq")],
+         "output": [str(tmp_path / "o.fq")], "ensure": "bogus"},
+        good,
+    ]
+    resps = run_server(jobs, ["-l", "50", "--kernel", "scan", "-m", "3"])
+    assert [r["status"] for r in resps] == ["error", "error", "error", "ok"]
+    assert "LIST of paths" in resps[0]["error"]
+    assert "chunk_size" in resps[1]["error"]
+    assert "ensure" in resps[2]["error"]
