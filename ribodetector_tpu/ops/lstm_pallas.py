@@ -92,16 +92,24 @@ OH = 8
 KDIM = HIDDEN + OH  # 136
 
 
+def _token_cols(w_ih, b):
+    """[8, 512] one-hot/bias table: column k (k<4) = w_ih[k] + b; column 4
+    (pad token) = b alone; columns 5..7 unused (their one-hot rows are
+    always zero). Shared by the fused x6/x1 weight and the x3 token
+    matmul so the pad/bias semantics cannot drift between modes."""
+    return jnp.concatenate(
+        [w_ih + b[None, :], b[None, :], jnp.zeros((OH - 5, GATES), w_ih.dtype)],
+        axis=0,
+    )
+
+
 def _build_wcat(w_ih, w_hh, b, dtype):
     """[512, 136] fused weight: recurrent cols 0:128, one-hot cols 128:136.
 
     One-hot column k (k<4) = w_ih[k] + b; column 4 (pad token) = b alone;
     columns 5..7 unused (their one-hot rows are always zero).
     """
-    cols_tok = jnp.concatenate(
-        [w_ih + b[None, :], b[None, :], jnp.zeros((OH - 5, GATES), w_ih.dtype)],
-        axis=0,
-    )  # [8, 512]
+    cols_tok = _token_cols(w_ih, b)  # [8, 512]
     return jnp.concatenate([w_hh, cols_tok], axis=0).T.astype(dtype)  # [512, 136]
 
 
@@ -325,7 +333,7 @@ def _kernel(
 def _pick_tile(B):
     # larger tiles amortize the per-step weight reuse better (measured on
     # v5e, x3 mode: 1024 ~= 2048 ~= 4096 > 512 by ~2%; 1024 won the sweep)
-    for tile in (1024, 2048, 512, 256, 128):
+    for tile in (1024, 512, 256, 128):
         if B % tile == 0:
             return tile
     return None
@@ -360,6 +368,8 @@ def bilstm_logits_pallas(
             f"only (got {params.w_hh_f.shape[0]}); use kernel='scan' (or "
             "'auto') for custom-width checkpoints"
         )
+    if semantics not in ("dense", "packed"):
+        raise ValueError(f"unknown semantics: {semantics}")  # contract parity
     packed = semantics == "packed"
     if packed and lengths is None:
         raise ValueError("packed semantics requires lengths")
@@ -370,12 +380,19 @@ def bilstm_logits_pallas(
         matmul = "x3" if compute_dtype == jnp.float32 else "x1"
     if matmul not in ("x1", "x3", "x6"):
         raise ValueError(f"unknown matmul mode: {matmul}")
-    if matmul == "x3" and compute_dtype != jnp.float32:
-        raise ValueError("matmul='x3' requires float32 compute_dtype")
+    if matmul in ("x3", "x6") and compute_dtype != jnp.float32:
+        # x6 is the BIT-EXACT mode; accepting bf16 would silently degrade
+        # "exact" to a single low-precision pass (round-4 review finding)
+        raise ValueError(
+            f"matmul='{matmul}' requires float32 compute_dtype (use "
+            "matmul='x1' for bfloat16)"
+        )
     if matmul == "x1" and precision == jax.lax.Precision.HIGHEST:
         precision = jax.lax.Precision.DEFAULT
 
     B, T = tokens.shape
+    if B == 0:  # scan-reference contract: empty in, empty out (no kernel)
+        return jnp.zeros((0, params.w_out.shape[1]), jnp.float32)
     tokens = tokens.astype(jnp.int32)
 
     tile = _pick_tile(B)
@@ -436,14 +453,7 @@ def bilstm_logits_pallas(
             whi = jax.lax.optimization_barrier(whh.astype(jnp.bfloat16))
             wlo = (whh - whi.astype(jnp.float32)).astype(jnp.bfloat16)
             wcat3 = jnp.concatenate([whi, whi, wlo], axis=1)  # [512, 384]
-            tokw = jnp.concatenate(
-                [
-                    w_ih + b[None, :],
-                    b[None, :],
-                    jnp.zeros((OH - 5, GATES), jnp.float32),
-                ],
-                axis=0,
-            ).T.astype(jnp.float32)  # [512, 8]
+            tokw = _token_cols(w_ih, b).T.astype(jnp.float32)  # [512, 8]
             return wcat3, tokw
 
         wcat3_f, tokw_f = prep3(params.w_ih_f, params.w_hh_f, params.b_f)

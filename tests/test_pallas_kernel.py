@@ -107,3 +107,25 @@ def test_ragged_batch_padding(params):
     assert got.shape == (7, 2)
     # identical reads -> identical logits incl. the last (padded-tile) row
     np.testing.assert_allclose(got, got[0][None].repeat(7, 0), rtol=0, atol=1e-5)
+
+
+def test_kernel_contract_guards(params):
+    """Entry guards match the scan twin's contract (round-4 review):
+    unknown semantics raises (was silently dense), x6 refuses bf16 (was a
+    silent single low-precision pass labeled 'exact'), and B=0 returns
+    empty logits (was a trace-time crash)."""
+    import jax.numpy as jnp
+
+    tokens = np.zeros((8, 12), np.uint8)
+    lengths = np.full(8, 12, np.int32)
+    with pytest.raises(ValueError, match="unknown semantics"):
+        bilstm_logits_pallas(params, tokens, lengths, semantics="Packed",
+                             interpret=True)
+    with pytest.raises(ValueError, match="float32"):
+        bilstm_logits_pallas(params, tokens, lengths, semantics="dense",
+                             matmul="x6", compute_dtype=jnp.bfloat16,
+                             interpret=True)
+    out = bilstm_logits_pallas(params, np.zeros((0, 12), np.uint8),
+                               np.zeros(0, np.int32), semantics="dense",
+                               interpret=True)
+    assert out.shape == (0, 2)
