@@ -66,12 +66,17 @@ def _loss_fn(params, tokens, lengths, labels, semantics, compute_dtype):
     return cross_entropy_loss(logits, labels), logits
 
 
-def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None):
+def make_train_step(
+    cfg: TrainConfig, optimizer, mesh: Mesh | None = None, params=None
+):
     """Jitted (params, opt_state, tokens, lengths, labels) -> updated state.
 
     With a mesh, the batch shards over "dp" and params follow
     param_shardings (tp tensor parallelism); XLA inserts the psum for the
-    gradient all-reduce and the tp collectives automatically.
+    gradient all-reduce and the tp collectives automatically. Pass the
+    REAL params when training a custom width so the optimizer-state
+    sharding table matches their shapes (a 128-width default would
+    silently replicate every mu/nu leaf for other widths).
     """
     compute_dtype = jnp.dtype(cfg.compute_dtype).type
 
@@ -91,23 +96,23 @@ def make_train_step(cfg: TrainConfig, optimizer, mesh: Mesh | None = None):
     data = NamedSharding(mesh, P(batch_axis))
     data2 = NamedSharding(mesh, P(batch_axis, None))
     # opt state mirrors param shapes; share param shardings where shaped alike
+    opt_sh = _opt_shardings(optimizer, ps, mesh, params=params)
     return jax.jit(
         step,
-        in_shardings=(ps, _opt_shardings(optimizer, ps, mesh), data2, data, data),
-        out_shardings=(ps, _opt_shardings(optimizer, ps, mesh), NamedSharding(mesh, P())),
+        in_shardings=(ps, opt_sh, data2, data, data),
+        out_shardings=(ps, opt_sh, NamedSharding(mesh, P())),
         donate_argnums=(0, 1),
     )
 
 
-def _dummy_params():
-    return init_params(jax.random.PRNGKey(0))
-
-
-def _opt_shardings(optimizer, param_sh, mesh):
+def _opt_shardings(optimizer, param_sh, mesh, params=None):
     """Optimizer-state shardings: param-shaped leaves inherit the param
-    sharding, scalars replicate."""
-    params = _dummy_params()
-    state = optimizer.init(params)
+    sharding, scalars replicate. The shape table comes from the given
+    params (falling back to the reference 128-width init) so custom-width
+    models keep their tensor-parallel optimizer-state layout."""
+    if params is None:
+        params = init_params(jax.random.PRNGKey(0))
+    state = jax.eval_shape(optimizer.init, params)
     flat_ps, _ = jax.tree_util.tree_flatten(param_sh)
     flat_p, _ = jax.tree_util.tree_flatten(params)
     shape_to_sh = {}
@@ -123,24 +128,63 @@ def _opt_shardings(optimizer, param_sh, mesh):
 
 
 def make_eval_step(cfg: TrainConfig):
+    """Jitted per-batch eval core: (per-example losses, predictions).
+
+    Kept per-example so evaluation can run in FIXED-SIZE mini-batches (one
+    compile; the tail is padded and sliced) instead of one whole-set jit --
+    a reference-scale validation set as a single [600k, 100] batch OOMs
+    while training itself is bounded by batch_size."""
     compute_dtype = jnp.dtype(cfg.compute_dtype).type
 
     @jax.jit
     def step(params, tokens, lengths, labels):
-        loss, logits = _loss_fn(
-            params, tokens, lengths, labels, cfg.semantics, compute_dtype
+        logits = bilstm_logits(
+            params,
+            tokens,
+            lengths,
+            semantics=cfg.semantics,
+            compute_dtype=compute_dtype,
+            precision=jax.lax.Precision.DEFAULT,
         )
-        pred = logits.argmax(-1)
-        return {
-            "loss": loss,
-            "acc": accuracy(pred, labels),
-            "recall": recall(pred, labels),
-            "precision": precision(pred, labels),
-            "F1": f1(pred, labels),
-            "mcc": mcc(pred, labels),
-        }
+        losses = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        )
+        return losses, logits.argmax(-1)
 
     return step
+
+
+def evaluate(eval_step, params, eval_data, batch_size=4096):
+    """Mini-batched evaluation: metrics over the WHOLE set (the confusion
+    counts come from concatenated predictions, so F1/MCC are exact, not
+    batch-averaged)."""
+    tokens, lengths, labels = (np.asarray(x) for x in eval_data)
+    n = len(labels)
+    eb = min(batch_size, n)
+    preds = np.empty(n, np.int32)
+    loss_sum = 0.0
+    for start in range(0, n, eb):
+        sl = slice(start, min(start + eb, n))
+        t, ln, lb = tokens[sl], lengths[sl], labels[sl]
+        pad = eb - len(lb)
+        if pad:  # fixed shape: one compile for every batch incl. the tail
+            t = np.pad(t, ((0, pad), (0, 0)), constant_values=4)
+            ln = np.pad(ln, (0, pad))
+            lb = np.pad(lb, (0, pad))
+        losses, pred = eval_step(params, t, ln, lb)
+        k = sl.stop - sl.start
+        preds[sl] = np.asarray(pred)[:k]
+        loss_sum += float(jnp.sum(losses[:k]))
+    pred = jnp.asarray(preds)
+    lab = jnp.asarray(labels)
+    return {
+        "loss": loss_sum / n,
+        "acc": float(accuracy(pred, lab)),
+        "recall": float(recall(pred, lab)),
+        "precision": float(precision(pred, lab)),
+        "F1": float(f1(pred, lab)),
+        "mcc": float(mcc(pred, lab)),
+    }
 
 
 def synthetic_dataset(rng, n, max_len=100, motif="GGAACCTTGGAACC"):
@@ -149,7 +193,9 @@ def synthetic_dataset(rng, n, max_len=100, motif="GGAACCTTGGAACC"):
     from ribodetector_tpu.encode import encode_batch
 
     motif = motif[: max(1, max_len // 2)]
+    # lmin must leave room to place the motif (rng.integers needs high > low)
     lmin = min(max(len(motif) + 2, max_len // 2), max_len)
+    lmin = max(lmin, min(len(motif) + 1, max_len))
     seqs, labels = [], []
     bases = np.array(list("ACGT"))
     for i in range(n):
@@ -157,7 +203,7 @@ def synthetic_dataset(rng, n, max_len=100, motif="GGAACCTTGGAACC"):
         s = "".join(rng.choice(bases, size=L))
         y = int(rng.integers(0, 2))
         if y:
-            pos = int(rng.integers(0, L - len(motif)))
+            pos = int(rng.integers(0, max(1, L - len(motif))))
             s = s[:pos] + motif + s[pos + len(motif):]
         seqs.append(s)
         labels.append(y)
@@ -191,9 +237,17 @@ def fit(
     from ribodetector_tpu.models.bilstm import save_params
 
     cfg = cfg or TrainConfig()
+    if int(batch_size) < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    valid_monitors = {"train_loss", "loss", "acc", "recall", "precision",
+                      "F1", "mcc"}
+    if monitor not in valid_monitors:
+        # fail BEFORE an epoch of work (and even without checkpoints the
+        # typo should not be silently ignored)
+        raise ValueError(f"monitor={monitor!r} not one of {sorted(valid_monitors)}")
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
-    train_step = make_train_step(cfg, optimizer, mesh)
+    train_step = make_train_step(cfg, optimizer, mesh, params=params)
     eval_step = make_eval_step(cfg)
 
     tokens, lengths, labels = data
@@ -219,14 +273,15 @@ def fit(
         metrics = {"train_loss": float(np.mean(losses))}
         msg = f"epoch {epoch}: loss {metrics['train_loss']:.4f}"
         if eval_data is not None:
-            m = eval_step(params, *map(jnp.asarray, eval_data))
-            metrics.update({k: float(v) for k, v in m.items()})
-            msg += " " + " ".join(f"{k} {float(v):.4f}" for k, v in m.items())
+            m = evaluate(eval_step, params, eval_data)
+            metrics.update(m)
+            msg += " " + " ".join(f"{k} {v:.4f}" for k, v in m.items())
         log_fn(msg)
         if checkpoint_dir is not None:
             os.makedirs(checkpoint_dir, exist_ok=True)
+            hidden = params.w_hh_f.shape[0]
             meta = {
-                "arch": "BiLSTM 4x128x2 bidirectional",
+                "arch": f"BiLSTM 4x{hidden}x2 bidirectional",
                 "epoch": epoch,
                 "batch_size": batch_size,
                 "metrics": metrics,
