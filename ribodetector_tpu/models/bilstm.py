@@ -55,13 +55,17 @@ class BiLSTMParams(NamedTuple):
 
 
 def init_params(key, hidden=HIDDEN, dtype=jnp.float32) -> BiLSTMParams:
-    """Random init (uniform +-1/sqrt(hidden), torch nn.LSTM's default)."""
-    ks = jax.random.split(key, 8)
+    """Random init matching the torch reference's defaults: LSTM tensors
+    uniform +-1/sqrt(hidden) (nn.LSTM), head weight AND bias uniform
+    +-1/sqrt(2*hidden) (nn.Linear's fan-in bound -- the head's input is
+    the 2*hidden bidirectional concat)."""
+    ks = jax.random.split(key, 10)
     bound = 1.0 / np.sqrt(hidden)
+    hbound = 1.0 / np.sqrt(2 * hidden)
     g = 4 * hidden
 
-    def u(k, shape):
-        return jax.random.uniform(k, shape, dtype, minval=-bound, maxval=bound)
+    def u(k, shape, b=bound):
+        return jax.random.uniform(k, shape, dtype, minval=-b, maxval=b)
 
     return BiLSTMParams(
         w_ih_f=u(ks[0], (ALPHABET, g)),
@@ -70,8 +74,8 @@ def init_params(key, hidden=HIDDEN, dtype=jnp.float32) -> BiLSTMParams:
         w_ih_b=u(ks[4], (ALPHABET, g)),
         w_hh_b=u(ks[5], (hidden, g)),
         b_b=u(ks[6], (g,)) + u(ks[7], (g,)),
-        w_out=u(ks[0], (2 * hidden, NUM_CLASSES)),
-        b_out=jnp.zeros((NUM_CLASSES,), dtype),
+        w_out=u(ks[8], (2 * hidden, NUM_CLASSES), hbound),
+        b_out=u(ks[9], (NUM_CLASSES,), hbound),
     )
 
 
@@ -249,7 +253,10 @@ def bilstm_logits(
 
     if packed:
         lengths = lengths.astype(jnp.int32)
-        gather_idx = jnp.maximum(lengths - 1, 0)
+        # clamp to [0, T-1]: a caller-supplied length > T would otherwise
+        # never match a capture step and silently return bias-only logits
+        # (the encoder clips lengths, but this is a public API)
+        gather_idx = jnp.clip(lengths - 1, 0, T - 1)
     else:
         gather_idx = dense_gather_index(tokens)
 

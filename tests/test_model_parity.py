@@ -134,3 +134,41 @@ def test_custom_hidden_width_scan_matches_torch(rng, hidden):
     with pytest.raises(ValueError, match="hidden width 128"):
         classify_logits(params, jnp.asarray(tokens), semantics="dense",
                         kernel="pallas")
+
+
+def test_init_params_head_independent_and_torch_bounds():
+    """The head weights must be an independent draw (key was previously
+    reused: w_out duplicated the first 512 values of w_ih_f) with torch
+    nn.Linear's fan-in bound 1/sqrt(2*hidden), bias uniform not zeros."""
+    import jax
+
+    from ribodetector_tpu.models.bilstm import init_params
+
+    p = init_params(jax.random.PRNGKey(0))
+    assert not np.array_equal(
+        np.asarray(p.w_out).ravel()[:512], np.asarray(p.w_ih_f).ravel()[:512]
+    )
+    hb = 1.0 / np.sqrt(256)
+    assert np.abs(np.asarray(p.w_out)).max() <= hb
+    assert np.abs(np.asarray(p.b_out)).max() <= hb
+    assert np.abs(np.asarray(p.b_out)).max() > 0  # uniform, not zeroed
+
+
+def test_packed_lengths_clamped_to_T(rng, params):
+    """A caller-supplied length > T (or <= 0) must clamp to the matrix,
+    not silently return bias-only logits (round-4 review finding)."""
+    import jax.numpy as jnp
+
+    from ribodetector_tpu.models.bilstm import bilstm_logits
+
+    tokens, _ = encode_batch(["ACGTACGTAC"], 10)
+    over = np.asarray(
+        bilstm_logits(params, jnp.asarray(tokens),
+                      jnp.asarray([11], jnp.int32), semantics="packed")
+    )
+    exact = np.asarray(
+        bilstm_logits(params, jnp.asarray(tokens),
+                      jnp.asarray([10], jnp.int32), semantics="packed")
+    )
+    np.testing.assert_allclose(over, exact, atol=1e-6)
+    assert not np.allclose(over, np.asarray(params.b_out)[None, :])

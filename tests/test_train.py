@@ -56,13 +56,13 @@ def test_trainer_learns_planted_motif():
     max_len = 32
     tokens, lengths, labels = synthetic_dataset(rng, 512, max_len=max_len)
     params = init_params(jax.random.PRNGKey(0))
-    cfg = TrainConfig(learning_rate=1e-2, semantics="dense")
+    cfg = TrainConfig(learning_rate=5e-3, semantics="dense")
     logs = []
     params = fit(
         params,
         (tokens, lengths, labels),
         cfg,
-        epochs=6,
+        epochs=8,
         batch_size=64,
         eval_data=(tokens, lengths, labels),
         log_fn=logs.append,
