@@ -62,7 +62,8 @@ def encode_batch(seqs, max_len, out_tokens=None):
     # A max_len run of pad bytes is appended so out-of-range gathers read
     # PAD-encoding bytes instead of needing a masked index build.
     buf = np.frombuffer(
-        ("".join(seqs) + "\0" * max_len).encode("latin-1"), dtype=np.uint8
+        ("".join(seqs) + "\0" * max_len).encode("latin-1", "replace"),
+        dtype=np.uint8
     )
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(full_lens[:-1], out=starts[1:])

@@ -60,9 +60,10 @@ def seq_parser(seq_fh, seq_type):
             else:
                 parts.append(line.upper())
         if header is not None and parts:
-            seq = "".join(parts)
-            if seq:
-                yield header, seq
+            # parts only ever holds non-empty stripped lines, so the join
+            # is non-empty by construction (trailing records with an empty
+            # sequence were filtered by `parts` being falsy above)
+            yield header, "".join(parts)
 
 
 def open_seq_file(seq_file):

@@ -5,8 +5,11 @@ Behavior parity with the reference's `get_seq_format`
 
 - recognized FASTA extensions: .fasta .fa .fna .fas
 - recognized FASTQ extensions: .fq .fastq
-- an optional trailing .gz / .gzip marks gzip encoding (detected via
-  mimetypes.guess_type, exactly like the reference)
+- an optional trailing .gz marks gzip encoding (detected via
+  mimetypes.guess_type, exactly like the reference). QUIRK kept for
+  parity: although the error text promises ".gz or .gzip", mimetypes has
+  no ".gzip" entry, so ".gzip" files are rejected -- by the reference
+  too (its identical guess_type call returns (None, None) for them)
 - any other encoding guess (e.g. .bz2) raises ValueError
 - any other sequence extension raises ValueError with the same guidance text
 - returns one of: "fa", "fagz", "fq", "fqgz"

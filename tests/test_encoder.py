@@ -61,3 +61,14 @@ def test_preallocated_buffer():
     assert tokens.base is buf or tokens is buf[:2]
     np.testing.assert_array_equal(buf[0], [0, 1, 2, 3, PAD_TOKEN, PAD_TOKEN])
     np.testing.assert_array_equal(buf[1], PAD_TOKEN * np.ones(6, np.uint8))
+
+
+def test_non_latin1_chars_encode_to_pad_not_crash():
+    """A stray codepoint > U+00FF in a sequence must degrade to the pad
+    token like every other unknown character (the reference's per-char
+    dict maps it to the zero vector), not abort the run with
+    UnicodeEncodeError (round-4 review finding)."""
+    tokens, lengths = encode_batch(["ACG€T", "AC\U0001F600GT"], 8)
+    assert list(lengths) == [5, 5]
+    np.testing.assert_array_equal(tokens[0][:5], [0, 1, 2, PAD_TOKEN, 3])
+    assert tokens[1][0] == 0 and tokens[1][1] == 1

@@ -188,3 +188,14 @@ def test_lone_cr_line_endings_fail_loudly(tmp_path):
         cli_main(["-l", "8", "-i", str(tmp_path / "in.fq"),
                   "-o", str(tmp_path / "o.fq"), "-m", "3",
                   "--chunk_size", "1", "--kernel", "scan"])
+
+
+def test_gzip_suffix_rejected_like_reference(tmp_path):
+    """Parity quirk: '.gzip' is rejected (mimetypes has no entry for it)
+    even though the guidance text mentions it -- the reference's identical
+    guess_type call behaves the same way."""
+    from ribodetector_tpu.io.format import get_seq_format
+
+    with pytest.raises(ValueError):
+        get_seq_format("reads.fq.gzip")
+    assert get_seq_format("reads.fq.gz") == "fqgz"
