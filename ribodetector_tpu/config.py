@@ -65,22 +65,39 @@ class ConfigParser:
         module_args.update(kwargs)
         return partial(getattr(module, module_name), *args, **module_args)
 
+    _FMT = "%(asctime)s : %(levelname)s  %(message)s"
+    _DATEFMT = "%Y-%m-%d %H:%M:%S"
+
     def get_logger(self, name, verbosity=2, logfile=None):
-        handlers = [logging.StreamHandler()]
-        if logfile is not None:
-            handlers.append(logging.FileHandler(logfile, mode="w"))
         assert verbosity in self.log_levels, (
             "verbosity option {} is invalid. Valid options are {}.".format(
                 verbosity, self.log_levels.keys()
             )
         )
-        logging.basicConfig(
-            level=self.log_levels[verbosity],
-            format="%(asctime)s : %(levelname)s  %(message)s",
-            datefmt="%Y-%m-%d %H:%M:%S",
-            handlers=handlers,
-            force=True,
-        )
+        root = logging.getLogger()
+        root.setLevel(self.log_levels[verbosity])
+        fmt = logging.Formatter(self._FMT, self._DATEFMT)
+        # FILE handlers are preserved across calls: basicConfig(force=True)
+        # here closed and replaced every root handler, silently detaching an
+        # earlier --log file handler when a second Predictor was built in
+        # the same process (serve mode). The STREAM handler is recreated per
+        # call so it binds the caller's current sys.stderr.
+        for h in list(root.handlers):
+            if isinstance(h, logging.StreamHandler) and not isinstance(
+                h, logging.FileHandler
+            ):
+                root.removeHandler(h)
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        root.addHandler(sh)
+        if logfile is not None and not any(
+            isinstance(h, logging.FileHandler)
+            and getattr(h, "baseFilename", None) == os.path.abspath(logfile)
+            for h in root.handlers
+        ):
+            fh = logging.FileHandler(logfile, mode="w")
+            fh.setFormatter(fmt)
+            root.addHandler(fh)
         return logging.getLogger(name)
 
 

@@ -57,6 +57,10 @@ def convert_checkpoint(pth_path: str, npz_path: str) -> dict:
 
     import torch
 
+    if not npz_path.endswith(".npz"):
+        # np.savez silently appends ".npz"; fail instead of reporting a
+        # path that will not exist
+        raise ValueError(f"destination must end with .npz, got {npz_path!r}")
     state = torch.load(pth_path, map_location="cpu", weights_only=True)
     meta = {"source_checkpoint": str(pth_path)}
     if isinstance(state, dict) and "state_dict" in state:
@@ -81,7 +85,6 @@ def arrays_to_state_dict(params) -> dict:
     SUM of torch's redundant bias pair, so the export puts the whole bias
     in bias_ih_l0* and zeros in bias_hh_l0* -- functionally identical
     (the LSTM cell only ever uses their sum)."""
-    import numpy as np
 
     def t(x):
         return np.asarray(x, dtype=np.float32)
@@ -171,17 +174,18 @@ def export_onnx(npz_path: str, onnx_path: str, read_len: int = 100) -> None:
             return
         try:
             from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+            orig = onnx_proto_utils._add_onnxscript_fn
         except (ImportError, AttributeError) as e:
-            # the private-module layout moves across torch releases; when it
-            # does, fall through to the actionable fix instead of leaking the
-            # internal import failure
+            # the private-module layout (module OR helper name) moves across
+            # torch releases; fall through to the actionable fix instead of
+            # leaking the internal failure
             raise RuntimeError(
                 "ONNX export without the 'onnx' package relies on a private "
                 "torch module that this torch version does not expose; "
                 "install the 'onnx' package (pip install onnx) and retry"
             ) from e
 
-        orig = onnx_proto_utils._add_onnxscript_fn
         onnx_proto_utils._add_onnxscript_fn = lambda proto, custom_opsets: proto
         try:
             yield
@@ -252,13 +256,31 @@ def main(argv=None):
         stem = src.rsplit(".", 1)[0]
         dst = stem + (".onnx" if src.endswith(".npz") else ".npz")
     length = args.length if args.length is not None else args.read_len_pos
+    # validate the (source, destination) pair before dispatching: feeding a
+    # torch pickle to np.load (or writing one under a .npz name) produces
+    # cryptic downstream failures
     if dst.endswith(".onnx"):
+        if not src.endswith(".npz"):
+            raise SystemExit(
+                f"ONNX export needs a native .npz source (got {src!r}); "
+                "convert the checkpoint first: convert <ckpt.pth> <out.npz>"
+            )
         export_onnx(src, dst, length if length is not None else 100)
         meta = {"opset": 10, "dynamic_axes": ["batch_size", "sequence_len"]}
-    elif src.endswith(".npz"):
+    elif dst.endswith(".pth"):
+        if not src.endswith(".npz"):
+            raise SystemExit(
+                f"torch export needs a native .npz source, got {src!r}"
+            )
         meta = export_checkpoint(src, dst)
-    else:
+    elif dst.endswith(".npz"):
+        if src.endswith(".npz"):
+            raise SystemExit("source and destination are both .npz")
         meta = convert_checkpoint(src, dst)
+    else:
+        raise SystemExit(
+            f"unsupported destination {dst!r}: expected .npz, .pth or .onnx"
+        )
     print("wrote", dst, "meta:", meta)
 
 

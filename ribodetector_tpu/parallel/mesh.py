@@ -22,6 +22,11 @@ def make_data_mesh(num_devices: int | None = None) -> Mesh:
     cross DCN)."""
     devices = jax.local_devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} local device(s) are visible"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), ("data",))
 
@@ -31,6 +36,11 @@ def make_dp_tp_mesh(num_devices: int | None = None, tp: int = 2) -> Mesh:
     back to 1 if it does not divide the count."""
     devices = jax.local_devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} local device(s) are visible"
+            )
         devices = devices[:num_devices]
     n = len(devices)
     if n % tp != 0:

@@ -18,6 +18,10 @@ MAX_BATCH = 1 << 17
 
 
 def auto_batch_size(memory_gb: int, read_len: int, is_paired: bool) -> int:
+    if read_len < 1:
+        # -l is unvalidated upstream (short reads only warn, quirk #12);
+        # fail clearly instead of a ZeroDivisionError inside the formula
+        raise ValueError(f"read length must be >= 1, got {read_len}")
     k = 2 if is_paired else 1
     raw = ((memory_gb - 2) * 1024 * 1024) / (k * read_len * 6.4)
     if raw < 1:

@@ -53,6 +53,12 @@ def choose_buckets(max_len, spec="auto"):
         if any(t < 1 or t > max_len for t in user):
             raise ValueError(f"--buckets entries must be in [1, {max_len}]")
         buckets = sorted(user | {max_len})
+    if len(buckets) > 32767:
+        # route_records returns int16 bucket indices; a longer list would
+        # wrap the index and silently drop records from inference
+        raise ValueError(
+            f"--buckets supports at most 32767 entries, got {len(buckets)}"
+        )
     return buckets if len(buckets) > 1 else None
 
 

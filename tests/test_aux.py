@@ -352,3 +352,49 @@ def test_chunk_size_zero_and_single_host_coordinator_rejected(tmp_path):
     p.load_model()
     with pytest.raises(RuntimeError, match="hosts >= 2"):
         p.detect()
+
+
+def test_small_guard_fixes_round4():
+    """Round-4 review guards: -l 0 gets a clear error (not
+    ZeroDivisionError); oversized meshes are refused (not silently
+    truncated); converter validates src/dst pairs and .npz extension;
+    get_logger is additive (a second call must not detach an earlier
+    --log file handler)."""
+    import logging
+
+    import pytest as _pytest
+
+    from ribodetector_tpu.runtime.batching import auto_batch_size
+
+    with _pytest.raises(ValueError, match="read length"):
+        auto_batch_size(32, 0, False)
+
+    from ribodetector_tpu.parallel.mesh import make_data_mesh
+
+    with _pytest.raises(ValueError, match="device"):
+        make_data_mesh(999)
+
+    from ribodetector_tpu.models.convert import main as conv_main
+
+    with _pytest.raises(SystemExit, match="npz source"):
+        conv_main(["ckpt.pth", "out.onnx"])
+    with _pytest.raises(SystemExit, match="both .npz"):
+        conv_main(["a.npz", "b.npz"])
+
+    import tempfile
+
+    from ribodetector_tpu.config import ConfigParser
+
+    cfg = ConfigParser({})
+    with tempfile.TemporaryDirectory() as d:
+        logf = f"{d}/run.log"
+        logger = cfg.get_logger("t1", 1, logf)
+        logger.info("first-entry")
+        cfg.get_logger("t2", 1, None)  # must NOT detach the file handler
+        logger2 = cfg.get_logger("t3", 1, logf)  # no duplicate handler
+        logger2.info("second-entry")
+        for h in logging.getLogger().handlers:
+            h.flush()
+        text = open(logf).read()
+        assert "first-entry" in text and "second-entry" in text
+        assert text.count("second-entry") == 1  # no handler duplication
