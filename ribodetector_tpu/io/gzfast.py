@@ -377,6 +377,25 @@ class MemberGzipWriter:
             self._fh.write(mv[:wrote])
         return n
 
+    def set_level(self, level):
+        """Swap the compression level mid-stream (adaptive gz: the writer
+        drops to level 1 when the deflate stage is the measured run
+        bottleneck). Safe at any member boundary -- every write() is an
+        independent member, so mixed-level members form a valid gzip file.
+        Caller must serialize with write() (the runtime calls both only on
+        its writer thread)."""
+        level = int(level)
+        if level == self.level:
+            return
+        if self._lib is not None:
+            comp = self._lib.libdeflate_alloc_compressor(level)
+            if not comp:
+                raise ValueError(f"libdeflate rejected compression level {level}")
+            if self._comp is not None:
+                self._lib.libdeflate_free_compressor(ctypes.c_void_p(self._comp))
+            self._comp = comp
+        self.level = level
+
     def write_raw(self, data):
         """Append an already-compressed gzip member (from compress_member)."""
         self._fh.write(data)

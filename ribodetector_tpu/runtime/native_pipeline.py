@@ -557,15 +557,39 @@ class _Writer:
     deterministic. This lifts the single-thread libdeflate ceiling
     (~170 MB/s) that otherwise caps end-to-end throughput when outputs are
     gzipped -- the reference has the same serial-deflate bottleneck
-    (detect.py:739, compresslevel=5 on one thread)."""
+    (detect.py:739, compresslevel=5 on one thread).
+
+    Adaptive gz level: when NO explicit --gz-level was given and producers
+    spend a sustained fraction of wall time blocked in acquire_scratch()
+    (every scratch buffer stuck behind the deflate/write stage -- the
+    signature of a write-bound run, e.g. six gz outputs on two cores,
+    experiments/E2E_r04.md), the writer drops the libdeflate level from
+    the default 3 to 1 for the REST of the run: measured +19% e2e on the
+    write-bound paired soak at ~4% worse ratio. Mixed-level members are a
+    valid gzip file and decompressed content is unchanged, so outputs stay
+    content-identical; an explicit --gz-level (CLI or config) disables
+    adaptation entirely."""
 
     _DONE = object()
     _CLOSE = object()
     POOL = 4
     BLOCK = 2 << 20
+    # adaptive-drop trigger: > ADAPT_FRAC of wall blocked on scratch, with
+    # at least ADAPT_MIN_BLOCKED s accumulated (guards tiny runs/noise)
+    ADAPT_MIN_BLOCKED = 0.5
+    ADAPT_FRAC = 0.10
+    ADAPT_LEVEL = 1
 
-    def __init__(self, compress_threads=0, gz_level=None):
+    def __init__(self, compress_threads=0, gz_level=None, on_level_drop=None):
         self._gz_level = gz_level
+        self._adapt = gz_level is None
+        self._on_level_drop = on_level_drop
+        self._dropped = False
+        self._blocked = 0.0
+        import time as _time
+
+        self._mono = _time.monotonic
+        self._start = self._mono()
         self._pool = None
         if compress_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -608,6 +632,16 @@ class _Writer:
             try:
                 # after a write error, keep draining (and signalling
                 # barriers) so producers unblock and see the stored error
+                if (
+                    self._dropped
+                    and isinstance(fh, MemberGzipWriter)
+                    and fh.level != self.ADAPT_LEVEL
+                ):
+                    # adaptive drop reached a streaming handle: switch it at
+                    # this member boundary (only ever reached when the run
+                    # had NO explicit level, so every handle holds the
+                    # default; both calls stay on this thread)
+                    fh.set_level(self.ADAPT_LEVEL)
                 if isinstance(payload, _Compressed):
                     for fut in payload.futs:
                         member = fut.result()
@@ -637,10 +671,35 @@ class _Writer:
                     self._free.put(scratch)
 
     def acquire_scratch(self):
-        """Take a pooled bytearray; hand it back via write(..., scratch=)."""
+        """Take a pooled bytearray; hand it back via write(..., scratch=).
+        Blocking here means every buffer is stuck behind the deflate/write
+        stage -- the adaptive-gz-level signal (class docstring)."""
         if self._exc is not None:
             raise self._exc
-        return self._free.get()
+        try:
+            return self._free.get_nowait()
+        except queue.Empty:
+            pass
+        t0 = self._mono()
+        s = self._free.get()
+        self._blocked += self._mono() - t0
+        if (
+            self._adapt
+            and not self._dropped
+            and self._blocked > self.ADAPT_MIN_BLOCKED
+            and self._blocked > self.ADAPT_FRAC * (self._mono() - self._start)
+        ):
+            # flip ONCE for the rest of the run: the pool path reads
+            # _gz_level at submit time; streaming MemberGzipWriter handles
+            # are switched by the writer thread as their items pass (_run)
+            self._dropped = True
+            self._gz_level = self.ADAPT_LEVEL
+            if self._on_level_drop is not None:
+                try:
+                    self._on_level_drop(self.ADAPT_LEVEL)
+                except Exception:  # pragma: no cover - logging only
+                    pass
+        return s
 
     def write(self, fh, payload, scratch=None):
         if self._exc is not None:
@@ -1145,6 +1204,13 @@ class NativeRunner:
         self._writer = _Writer(
             compress_threads=self._compress_threads(),
             gz_level=getattr(p, "gz_level", None),
+            on_level_drop=lambda lvl: p.logger.info(
+                "write stage is the bottleneck: dropping gz output "
+                "compression to libdeflate level %d for the rest of the "
+                "run (~4%% larger files, measured +19%% throughput; pass "
+                "--gz-level to pin a level instead)",
+                lvl,
+            ),
         )
         ok = False
         curs = []

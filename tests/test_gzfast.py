@@ -338,3 +338,76 @@ def test_crc32_typed_buffer_uses_byte_length():
     a = array.array("I", range(100))
     assert crc32(a) == zlib.crc32(a)
     assert crc32(memoryview(a)) == zlib.crc32(a)
+
+
+def test_set_level_mid_stream_mixed_members(rng):
+    """set_level at a member boundary: mixed-level members stay one valid
+    gzip stream with identical decompressed content."""
+    buf = io.BytesIO()
+    w = MemberGzipWriter(buf)
+    a = rng.integers(65, 91, 200000).astype(np.uint8).tobytes()
+    b = rng.integers(65, 91, 200000).astype(np.uint8).tobytes()
+    w.write(a)
+    assert w.level == MemberGzipWriter.LEVEL
+    w.set_level(1)
+    assert w.level == 1
+    w.write(b)
+    w.set_level(1)  # no-op path
+    blob = buf.getvalue()
+    w.close()
+    assert gzip.decompress(blob) == a + b
+    assert drain(RawInflater(), blob) == a + b
+
+
+def test_writer_adaptive_level_drop(tmp_path, rng, monkeypatch):
+    """A persistently starved scratch pool drops the gz level to 1 for the
+    rest of the run -- pool-compressed AND streaming members -- with
+    content identical; an explicit level disables adaptation."""
+    import threading
+    import time
+
+    from ribodetector_tpu.io.writer import open_for_write_bytes
+    from ribodetector_tpu.runtime.native_pipeline import _Writer
+
+    monkeypatch.setattr(_Writer, "ADAPT_MIN_BLOCKED", 0.01)
+    monkeypatch.setattr(_Writer, "ADAPT_FRAC", 0.0)
+
+    drops = []
+    w = _Writer(compress_threads=2, on_level_drop=drops.append)
+    assert w._adapt
+    # drain the free pool, then return one buffer late to force a blocking
+    # acquire long enough to cross the (patched) thresholds
+    held = [w._free.get_nowait() for _ in range(w._free.qsize())]
+
+    def give_back():
+        time.sleep(0.05)
+        w._free.put(held.pop())
+
+    threading.Thread(target=give_back).start()
+    s = w.acquire_scratch()
+    assert w._dropped and w._gz_level == _Writer.ADAPT_LEVEL
+    assert drops == [_Writer.ADAPT_LEVEL]
+    for h in held:
+        w._free.put(h)
+    w._free.put(s)
+
+    # post-drop: both compression paths emit valid (level-1) members and
+    # the streaming handle is switched as its first item passes
+    path = str(tmp_path / "out.fq.gz")
+    fh = open_for_write_bytes(path)
+    big = rng.integers(65, 91, (3 << 20)).astype(np.uint8).tobytes()
+    scratch = w.acquire_scratch()
+    scratch[:] = big
+    w.write(fh, memoryview(scratch), scratch=scratch)  # pool path
+    w.write(fh, b"small-serial-payload\n")  # streaming path
+    w.barrier()
+    assert fh.level == _Writer.ADAPT_LEVEL
+    w.close()
+    fh.close()
+    with gzip.open(path, "rb") as gz:
+        assert gz.read() == big + b"small-serial-payload\n"
+
+    # explicit level: adaptation off
+    w2 = _Writer(compress_threads=0, gz_level=5)
+    assert not w2._adapt
+    w2.close()
