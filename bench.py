@@ -253,6 +253,9 @@ def _run_cli_timed(inp, out, rr, ensure="none"):
     # reads/s counts both ends individually, the reference's accounting
     n_reads = p._final[0] * (2 if len(inp) == 2 else 1)
     stages = {k: round(v, 2) for k, v in p.timer.totals.items()}
+    # per-thread worker stages (inflate/parse/deflate/write_io/h2d_call):
+    # these OVERLAP the main-thread rows (they run on rd-* threads)
+    stages.update(p.timer.worker_seconds())
     return n_reads / wall, stages, cpu / wall / (os.cpu_count() or 1)
 
 

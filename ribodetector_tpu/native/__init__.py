@@ -55,6 +55,14 @@ def _load():
                 p(ctypes.c_int64), p(ctypes.c_uint8), p(ctypes.c_int32),
                 p(ctypes.c_uint8), p(ctypes.c_int64),
             ]
+            lib.rd_parse_fastq_b5b2.restype = i64
+            lib.rd_parse_fastq_b5b2.argtypes = [
+                ctypes.c_char_p, i64, ctypes.c_int32, i64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                p(ctypes.c_int64), p(ctypes.c_uint8), p(ctypes.c_uint8),
+                p(ctypes.c_int32), p(ctypes.c_uint8), p(ctypes.c_uint8),
+                p(ctypes.c_int64),
+            ]
             lib.rd_parse_fasta_b5.restype = i64
             lib.rd_parse_fasta_b5.argtypes = [
                 ctypes.c_char_p, i64, ctypes.c_int32,
@@ -145,6 +153,63 @@ def parse_fastq_chunk_b5(data: bytes, max_len: int, at_eof=True):
         clean[:nrec],
         int(consumed[0]),
     )
+
+
+def parse_fastq_chunk_b5b2(data: bytes, max_len: int, at_eof=True):
+    """Like parse_fastq_chunk_b5 but additionally returns the 2-bit packed
+    rows and the per-record b2ok eligibility flag (clean ACGTU call at full
+    max_len length -- see fastx.cpp rd_parse_fastq_b5b2)."""
+    lib = _load()
+    n = len(data)
+    max_records = data.count(b"\n") // 4 + 2
+    pl = b5_packed_len(max_len)
+    pl2 = b2_packed_len(max_len)
+    offsets = np.empty((max_records, 2), np.int64)
+    packed = np.empty((max_records, pl), np.uint8)
+    packed2 = np.empty((max_records, pl2), np.uint8)
+    lengths = np.empty(max_records, np.int32)
+    clean = np.empty(max_records, np.uint8)
+    b2ok = np.empty(max_records, np.uint8)
+    consumed = np.zeros(1, np.int64)
+    nrec = lib.rd_parse_fastq_b5b2(
+        data, n, 1 if at_eof else 0, max_records, max_len, pl, pl2,
+        _ptr(offsets, ctypes.c_int64), _ptr(packed, ctypes.c_uint8),
+        _ptr(packed2, ctypes.c_uint8), _ptr(lengths, ctypes.c_int32),
+        _ptr(clean, ctypes.c_uint8), _ptr(b2ok, ctypes.c_uint8),
+        _ptr(consumed, ctypes.c_int64),
+    )
+    return (
+        offsets[:nrec],
+        packed[:nrec],
+        packed2[:nrec],
+        lengths[:nrec],
+        clean[:nrec],
+        b2ok[:nrec],
+        int(consumed[0]),
+    )
+
+
+def b2_packed_len(max_len: int) -> int:
+    """Bytes per 2-bit-packed token row (4 tokens per byte; clean
+    ACGTU-only full-length reads, see ops/dispatch.unpack_b2_tokens)."""
+    return (max_len + 3) // 4
+
+
+def pack_b2(tokens: np.ndarray) -> np.ndarray:
+    """numpy twin of the native 2-bit packer: [B, T] uint8 tokens (all
+    REQUIRED < 4) -> [B, (T+3)//4] uint8, 4 tokens/byte little-endian
+    (tail slots pack as 0; unpack slices them off)."""
+    B, T = tokens.shape
+    Tp = b2_packed_len(T) * 4
+    full = np.zeros((B, Tp), np.uint8)
+    full[:, :T] = tokens
+    quads = full.reshape(B, -1, 4).astype(np.uint16)
+    return (
+        quads[:, :, 0]
+        + (quads[:, :, 1] << 2)
+        + (quads[:, :, 2] << 4)
+        + (quads[:, :, 3] << 6)
+    ).astype(np.uint8)
 
 
 def pack_b5(tokens: np.ndarray) -> np.ndarray:

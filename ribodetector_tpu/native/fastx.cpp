@@ -209,6 +209,91 @@ int64_t rd_parse_fastq_b5(
     return rec;
 }
 
+// Variant of rd_parse_fastq_b5 ADDITIONALLY emitting 2-bit packed tokens:
+// 4 tokens per byte little-endian (b = t0 | t1<<2 | t2<<4 | t3<<6), plus a
+// per-record b2ok flag: 1 iff every base is a clean A/C/G/T/U call AND the
+// read is exactly max_len long. Such records never need the pad token (4),
+// so 2 bits suffice and the host->device transfer drops another 25% vs
+// base-5 (the runtime routes b2ok records to a 2-bit lane,
+// runtime/native_pipeline.py; everything else keeps the base-5 row).
+// The b2 row of a non-b2ok record is left unspecified.
+// packed2: uint8[max_records * packed2_len], packed2_len = (max_len+3)/4.
+int64_t rd_parse_fastq_b5b2(
+    const char* buf, int64_t n, int32_t at_eof,
+    int64_t max_records, int32_t max_len, int32_t packed_len,
+    int32_t packed2_len,
+    int64_t* offsets, uint8_t* packed, uint8_t* packed2,
+    int32_t* lengths, uint8_t* clean, uint8_t* b2ok,
+    int64_t* consumed)
+{
+    const char* base = buf;
+    const char* p = buf;
+    const char* end = buf + n;
+    int64_t rec = 0;
+    *consumed = 0;
+
+    while (rec < max_records && p < end) {
+        const char* line_start[4];
+        const char* line_end[4];
+        bool rec_clean;
+        const char* q;
+        if (!frame_fastq(base, &p, end, at_eof, line_start, line_end,
+                         &rec_clean, &q, consumed))
+            break;
+
+        const char* s = line_start[1];
+        const char* se = line_end[1];
+        int32_t L = static_cast<int32_t>(se - s);
+        if (L > max_len) L = max_len;
+        uint8_t* prow = packed + rec * static_cast<int64_t>(packed_len);
+        uint8_t* prow2 = packed2 + rec * static_cast<int64_t>(packed2_len);
+        bool pure = (static_cast<int32_t>(se - s) == max_len);
+        int32_t i = 0, j = 0, j2 = 0;
+        uint8_t qbits = 0;
+        int32_t qfill = 0;
+        for (; i + 3 <= L; i += 3, ++j) {
+            uint8_t t0 = LUT.t[static_cast<unsigned char>(s[i])];
+            uint8_t t1 = LUT.t[static_cast<unsigned char>(s[i + 1])];
+            uint8_t t2 = LUT.t[static_cast<unsigned char>(s[i + 2])];
+            prow[j] = static_cast<uint8_t>(t0 + 5 * t1 + 25 * t2);
+            pure &= (t0 | t1 | t2) < 4;
+            qbits |= static_cast<uint8_t>((t0 & 3) << qfill);
+            if (qfill == 6) { prow2[j2++] = qbits; qbits = 0; qfill = 0; }
+            else qfill += 2;
+            qbits |= static_cast<uint8_t>((t1 & 3) << qfill);
+            if (qfill == 6) { prow2[j2++] = qbits; qbits = 0; qfill = 0; }
+            else qfill += 2;
+            qbits |= static_cast<uint8_t>((t2 & 3) << qfill);
+            if (qfill == 6) { prow2[j2++] = qbits; qbits = 0; qfill = 0; }
+            else qfill += 2;
+        }
+        for (; i < L; ++i) {  // trailing partial trio
+            uint8_t t = LUT.t[static_cast<unsigned char>(s[i])];
+            pure &= t < 4;
+            if (i % 3 == 0) prow[j] = t + 5 * 4 + 25 * 4;
+            else if (i % 3 == 1) prow[j] = static_cast<uint8_t>(
+                prow[j] - 5 * 4 + 5 * t);
+            qbits |= static_cast<uint8_t>((t & 3) << qfill);
+            if (qfill == 6) { prow2[j2++] = qbits; qbits = 0; qfill = 0; }
+            else qfill += 2;
+        }
+        if (i % 3) ++j;
+        if (qfill) prow2[j2++] = qbits;
+        for (; j < packed_len; ++j) prow[j] = 124;
+        for (; j2 < packed2_len; ++j2) prow2[j2] = 0;
+
+        offsets[rec * 2] = p - base;
+        offsets[rec * 2 + 1] = q - base;
+        lengths[rec] = L;
+        clean[rec] = rec_clean ? 1 : 0;
+        b2ok[rec] = pure ? 1 : 0;
+        ++rec;
+        p = q;
+        *consumed = p - base;
+    }
+    return rec;
+}
+
 // FASTA chunk parser + normalizer + base-5 packed encoder.
 //
 // Reference FASTA semantics (ribodetector/data_loader/fastx_parser.py:40-55,

@@ -45,6 +45,27 @@ def unpack_b5_tokens(packed, max_len):
     ]
 
 
+def unpack_b2_tokens(packed, max_len):
+    """Device-side inverse of native.pack_b2: [B, (T+3)//4] uint8 2-bit
+    packed bytes -> [B, max_len] int32 tokens in 0..3.
+
+    The 2-bit format carries 4 bases/byte (vs base-5's 3/byte, a 25%
+    host->device transfer cut) but can only represent A/C/G/T(U) -- the
+    native parser flags records as b2-eligible only when every base is a
+    clean ACGTU call at full read length, so no pad token (4) ever needs
+    encoding; ineligible records keep the base-5 path (fastx.cpp
+    rd_parse_fastq_b5b2).
+    """
+    p32 = packed.astype(jnp.int32)
+    t0 = p32 & 3
+    t1 = (p32 >> 2) & 3
+    t2 = (p32 >> 4) & 3
+    t3 = (p32 >> 6) & 3
+    return jnp.stack([t0, t1, t2, t3], axis=-1).reshape(packed.shape[0], -1)[
+        :, :max_len
+    ]
+
+
 def classify_logits(
     params,
     tokens,

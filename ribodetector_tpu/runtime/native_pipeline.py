@@ -92,7 +92,13 @@ class FastqChunkStream:
         window_bytes=None,
         depth=3,
         prefetch=1,
+        timer=None,
     ):
+        if timer is None:
+            from ribodetector_tpu.runtime.profiling import StageTimer
+
+            timer = StageTimer(enabled=False)
+        self.timer = timer
         self.slots = depth + prefetch + 3
         self.max_len = max_len
         self.cap = records_per_chunk
@@ -117,12 +123,19 @@ class FastqChunkStream:
         self._avg_rec = 280.0
         cap = self.cap + 2
         pl = native.b5_packed_len(max_len)
+        pl2 = native.b2_packed_len(max_len)
+        # per slot: window, offsets, base-5 rows, lengths, clean flags,
+        # 2-bit rows + per-record b2 eligibility (the FASTQ parser emits
+        # both packings in one pass; b2ok records route to the 25%-smaller
+        # 2-bit transfer lane -- fastx.cpp rd_parse_fastq_b5b2)
         self._slots = [
             (
                 bytearray(self.win_bytes),
                 np.zeros((cap, 2), np.int64),
                 np.zeros((cap, pl), np.uint8),
                 np.zeros(cap, np.int32),
+                np.zeros(cap, np.uint8),
+                np.zeros((cap, pl2), np.uint8),
                 np.zeros(cap, np.uint8),
             )
             for _ in range(self.slots)
@@ -148,6 +161,7 @@ class FastqChunkStream:
         much as the inflate itself)."""
         q = self._blockq
         inf = RawInflater()
+        timer = self.timer
         try:
             while True:
                 raw = self._fh.read(_BLOCK)
@@ -167,7 +181,8 @@ class FastqChunkStream:
                     q.put(None)
                     return
                 while raw:
-                    out, raw = inf.decompress(raw, _BLOCK)
+                    with timer.stage("inflate"):
+                        out, raw = inf.decompress(raw, _BLOCK)
                     if out:
                         q.put(out)
         except BaseException as e:  # propagated to the consumer
@@ -176,7 +191,9 @@ class FastqChunkStream:
     def _fill_gz(self, mv, pos, target):
         if not self._decomp_started:
             self._decomp_started = True
-            threading.Thread(target=self._decomp_loop, daemon=True).start()
+            threading.Thread(
+                target=self._decomp_loop, daemon=True, name="rd-inflate"
+            ).start()
         while pos < target and (self._carry or not self._eof):
             if self._carry:
                 blk, self._carry = self._carry, b""
@@ -203,23 +220,28 @@ class FastqChunkStream:
         import ctypes
 
         lib = native._load()
-        win, offsets, ptokens, lengths, clean = self._slots[si]
+        win, offsets, ptokens, lengths, clean, ptokens2, b2ok = self._slots[si]
         pl = native.b5_packed_len(self.max_len)
+        pl2 = native.b2_packed_len(self.max_len)
         consumed = np.zeros(1, np.int64)
         buf = (ctypes.c_char * pos).from_buffer(win)
-        n = lib.rd_parse_fastq_b5(
-            buf,
-            pos,
-            1 if at_eof else 0,
-            self.cap,
-            self.max_len,
-            pl,
-            native._ptr(offsets, ctypes.c_int64),
-            native._ptr(ptokens, ctypes.c_uint8),
-            native._ptr(lengths, ctypes.c_int32),
-            native._ptr(clean, ctypes.c_uint8),
-            native._ptr(consumed, ctypes.c_int64),
-        )
+        with self.timer.stage("parse_work"):
+            n = lib.rd_parse_fastq_b5b2(
+                buf,
+                pos,
+                1 if at_eof else 0,
+                self.cap,
+                self.max_len,
+                pl,
+                pl2,
+                native._ptr(offsets, ctypes.c_int64),
+                native._ptr(ptokens, ctypes.c_uint8),
+                native._ptr(ptokens2, ctypes.c_uint8),
+                native._ptr(lengths, ctypes.c_int32),
+                native._ptr(clean, ctypes.c_uint8),
+                native._ptr(b2ok, ctypes.c_uint8),
+                native._ptr(consumed, ctypes.c_int64),
+            )
         del buf  # release the buffer export
         return n, int(consumed[0]), win
 
@@ -301,8 +323,11 @@ class FastqChunkStream:
                 continue
             self._avg_rec = 0.5 * self._avg_rec + 0.5 * (used / n)
             self._tail = bytes(win[used:pos])
-            _, offsets, ptokens, lengths, clean = self._slots[si]
-            yield (data, offsets[:n], ptokens[:n], lengths[:n], clean[:n], n)
+            _, offsets, ptokens, lengths, clean, ptokens2, b2ok = self._slots[si]
+            yield (
+                data, offsets[:n], ptokens[:n], ptokens2[:n], lengths[:n],
+                clean[:n], b2ok[:n], n,
+            )
             if self._eof and not self._carry and not self._tail:
                 return
 
@@ -343,31 +368,33 @@ class FastaChunkStream(FastqChunkStream):
         import ctypes
 
         lib = native._load()
-        win, offsets, ptokens, lengths, clean = self._slots[si]
+        win, offsets, ptokens, lengths, clean, ptokens2, b2ok = self._slots[si]
         norm = self._norms[si]
         pl = native.b5_packed_len(self.max_len)
         consumed = np.zeros(1, np.int64)
         norm_used = np.zeros(1, np.int64)
         buf = (ctypes.c_char * pos).from_buffer(win)
         nbuf = (ctypes.c_char * len(norm)).from_buffer(norm)
-        n = lib.rd_parse_fasta_b5(
-            buf,
-            pos,
-            1 if at_eof else 0,
-            self.cap,
-            self.max_len,
-            pl,
-            nbuf,
-            len(norm),
-            native._ptr(offsets, ctypes.c_int64),
-            native._ptr(ptokens, ctypes.c_uint8),
-            native._ptr(lengths, ctypes.c_int32),
-            native._ptr(consumed, ctypes.c_int64),
-            native._ptr(norm_used, ctypes.c_int64),
-        )
+        with self.timer.stage("parse_work"):
+            n = lib.rd_parse_fasta_b5(
+                buf,
+                pos,
+                1 if at_eof else 0,
+                self.cap,
+                self.max_len,
+                pl,
+                nbuf,
+                len(norm),
+                native._ptr(offsets, ctypes.c_int64),
+                native._ptr(ptokens, ctypes.c_uint8),
+                native._ptr(lengths, ctypes.c_int32),
+                native._ptr(consumed, ctypes.c_int64),
+                native._ptr(norm_used, ctypes.c_int64),
+            )
         del buf, nbuf  # release the buffer exports
         if n:
             clean[:n] = 1  # normalization IS the reference text
+            b2ok[:n] = 0  # FASTA keeps the base-5 lane (no 2-bit emit)
         return n, int(consumed[0]), norm
 
     def _eof_no_record(self, win, pos):
@@ -410,7 +437,9 @@ class _Prefetcher:
         self._q = queue.Queue(maxsize=depth)
         self._exc = None
         self._stopped = False
-        self._t = threading.Thread(target=self._run, args=(it,), daemon=True)
+        self._t = threading.Thread(
+            target=self._run, args=(it,), daemon=True, name="rd-parse"
+        )
         self._t.start()
 
     def _run(self, it):
@@ -468,53 +497,60 @@ class _RecordCursor:
 
     def __init__(self, prefetcher):
         self._pf = prefetcher
-        self._c = None  # (data, offsets, ptokens, lengths, n, recs)
+        self._c = None  # [data, offsets, ptokens, ptokens2, lengths, b2ok, n, clean, recs]
         self._pos = 0
         self.eof = False
 
     _RECS_UNSET = object()
+    _N = 6  # record count's index in self._c
 
     def ready(self):
         """Ensure a non-exhausted current chunk; False at end of stream."""
-        while not self.eof and (self._c is None or self._pos >= self._c[4]):
+        while not self.eof and (self._c is None or self._pos >= self._c[self._N]):
             chunk = self._pf.get()
             if chunk is None:
                 self._c, self.eof = None, True
                 return False
-            data, offsets, ptokens, lengths, clean, n = chunk
+            data, offsets, ptokens, ptokens2, lengths, clean, b2ok, n = chunk
             # dirty-record text is materialized lazily at first take():
             # skip() drives ready() over every chunk too (--hosts round
             # robin, --resume restart), and re-parsing windows the host
             # never processes would waste (N-1)/N of the dirty-parse cost
-            self._c = [data, offsets, ptokens, lengths, n, clean, self._RECS_UNSET]
+            self._c = [
+                data, offsets, ptokens, ptokens2, lengths, b2ok, n, clean,
+                self._RECS_UNSET,
+            ]
             self._pos = 0
         return not self.eof
 
     def chunk_avail(self):
         """Rows left in the current window (call after ready() is True)."""
-        return self._c[4] - self._pos
+        return self._c[self._N] - self._pos
 
     def take(self, k):
-        """Advance k rows (k <= chunk_avail()). Returns
-        (data, offsets_rows_copy, ptokens_rows, lengths_rows, recs, start):
-        offsets rows are copied because the stream's slot arrays rotate
-        while the batch is in flight; token/length views are copied into
-        the staging buffers synchronously by the caller."""
-        data, offsets, ptokens, lengths, n, clean, recs = self._c
+        """Advance k rows (k <= chunk_avail()). Returns (data,
+        offsets_rows_copy, ptokens_rows, ptokens2_rows, lengths_rows,
+        b2ok_rows, recs, start): offsets rows are copied because the
+        stream's slot arrays rotate while the batch is in flight;
+        token/length views are copied into the staging buffers
+        synchronously by the caller."""
+        data, offsets, ptokens, ptokens2, lengths, b2ok, n, clean, recs = self._c
         if recs is self._RECS_UNSET:
             recs = (
                 None
                 if clean[:n].all()
                 else records_from_chunk_bytes(data, offsets, n)
             )
-            self._c[6] = recs
+            self._c[8] = recs
         s = self._pos
         self._pos = s + k
         return (
             data,
             offsets[s : s + k].copy(),
             ptokens[s : s + k],
+            ptokens2[s : s + k],
             lengths[s : s + k],
+            b2ok[s : s + k],
             recs,
             s,
         )
@@ -580,12 +616,18 @@ class _Writer:
     ADAPT_FRAC = 0.10
     ADAPT_LEVEL = 1
 
-    def __init__(self, compress_threads=0, gz_level=None, on_level_drop=None):
+    def __init__(self, compress_threads=0, gz_level=None, on_level_drop=None,
+                 timer=None):
         self._gz_level = gz_level
         self._adapt = gz_level is None
         self._on_level_drop = on_level_drop
         self._dropped = False
         self._blocked = 0.0
+        if timer is None:
+            from ribodetector_tpu.runtime.profiling import StageTimer
+
+            timer = StageTimer(enabled=False)
+        self._timer = timer
         import time as _time
 
         self._mono = _time.monotonic
@@ -603,7 +645,7 @@ class _Writer:
         for _ in range(self.POOL + (compress_threads if self._pool else 0)):
             self._free.put(bytearray())
         self._exc = None
-        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t = threading.Thread(target=self._run, daemon=True, name="rd-write")
         self._t.start()
 
     def _run(self):
@@ -646,9 +688,11 @@ class _Writer:
                     for fut in payload.futs:
                         member = fut.result()
                         if self._exc is None:
-                            fh.write_raw(member)
+                            with self._timer.stage("write_io"):
+                                fh.write_raw(member)
                 elif self._exc is None or not payload:
-                    fh.write(payload)
+                    with self._timer.stage("write_io"):
+                        fh.write(payload)
             except BaseException as e:  # pragma: no cover - disk errors
                 if self._exc is None:  # keep the root cause, not a follow-on
                     self._exc = e
@@ -721,8 +765,7 @@ class _Writer:
             payload = _Compressed(futs, view)
         self._q.put((fh, payload, scratch))
 
-    @staticmethod
-    def _compress_slice(view, start, end, level=None):
+    def _compress_slice(self, view, start, end, level=None):
         """Pool-task body: the sub-view is created AND released inside the
         task, so no export of the pooled scratch buffer can outlive the
         future's completion. (Submitting pre-made slices would let the
@@ -731,9 +774,10 @@ class _Writer:
         recycled scratch's next resize would hit BufferError.)"""
         sub = view[start:end]
         try:
-            if level is None:
-                return compress_member(sub)
-            return compress_member(sub, level=level)
+            with self._timer.stage("deflate"):
+                if level is None:
+                    return compress_member(sub)
+                return compress_member(sub, level=level)
         finally:
             sub.release()
 
@@ -913,6 +957,9 @@ class NativeRunner:
         # parity) and bounds host memory via the chunk stream.
         self.dbs = max(predictor.batch_size, min(131072, self._records_per_chunk()))
         self._need_lengths = predictor.semantics == "packed"
+        # 2-bit transfer lane for clean full-length reads (runtime.b2=false
+        # pins everything to base-5; labels are identical either way)
+        self._b2_enabled = rt.get("b2", True) is not False
         self._writer = None
         import time
 
@@ -1011,15 +1058,33 @@ class NativeRunner:
             _BucketStager(rows, native.b5_packed_len(tb), self.dbs)
             for tb in buckets
         ]
+        if self._b2_enabled:
+            # extra transfer lane for b2-eligible records (clean ACGTU at
+            # full -l): the 2-bit rows are 25% smaller than base-5 on the
+            # dominant H2D path. Such reads are full-length by definition,
+            # so the lane is a twin of the top bucket (pad_gap 0); label
+            # scatter-back by absolute index makes lane routing invisible
+            # to output order. jax.jit is lazy, so the extra infer costs
+            # nothing unless a b2 record actually arrives.
+            infers.append(
+                p._build_infer(packed_max_len=p.len, emit=emit, pad_gap=0, fmt="b2")
+            )
+            stagers.append(
+                _BucketStager(rows, native.b2_packed_len(p.len), self.dbs)
+            )
         return infers, stagers
 
     def _device_call_with(self, infer, st, sl):
         import jax
 
-        st_dev = jax.device_put(st, self.p.input_sharding)
-        if self._need_lengths:
-            return infer(st_dev, jax.device_put(sl, self.p.length_sharding))
-        return infer(st_dev)
+        # runs on an rd-dispatch pool thread: the stage measures per-thread
+        # transfer-marshal + dispatch cost (grpc/protobuf work burns host
+        # CPU on tunneled links; on a DMA-attached TPU-VM it collapses)
+        with self.p.timer.stage("h2d_call"):
+            st_dev = jax.device_put(st, self.p.input_sharding)
+            if self._need_lengths:
+                return infer(st_dev, jax.device_put(sl, self.p.length_sharding))
+            return infer(st_dev)
 
     def _dispatch_bucket(self, pending, infers, stagers, partial, b, acc):
         tok, lens, idxs, fill = partial[b]
@@ -1069,15 +1134,25 @@ class NativeRunner:
             self._write_chunk_bucketed(acc)
 
     def _route_into(self, pending, infers, stagers, partial, acc, b_idx,
-                    toks, lens, toks2=None, lens2=None, row0=0):
-        """Copy routed rows into per-bucket partial batches; dispatch full
-        ones. b_idx holds each record's bucket index."""
+                    sides, row0=0):
+        """Copy routed rows into per-lane partial batches; dispatch full
+        ones. b_idx holds each record's lane index (bucket, or the extra
+        2-bit lane); `sides` is one (b5_rows, b2_rows, lengths) triple per
+        input file -- the 2-bit lane copies from the b2 rows, every other
+        lane from base-5."""
         bs = self.dbs
         need_len = self._need_lengths
+        b2lane = len(stagers) - 1 if self._b2_enabled else -1
+        t5a, t2a, lna = sides[0]
+        paired = len(sides) == 2
+        if paired:
+            t5b, t2b, lnb = sides[1]
         for b in range(len(stagers)):
             sel = np.flatnonzero(b_idx == b)
             if not len(sel):
                 continue
+            src_a = t2a if b == b2lane else t5a
+            src_b = (t2b if b == b2lane else t5b) if paired else None
             pl = stagers[b].pl
             contiguous = len(sel) == len(b_idx)
             off = 0
@@ -1087,13 +1162,13 @@ class NativeRunner:
                 tok, ln, idxs, fill = partial[b]
                 m = min(bs - fill, len(sel) - off)
                 s = slice(off, off + m) if contiguous else sel[off : off + m]
-                tok[fill : fill + m] = toks[s, :pl]
-                if toks2 is not None:
-                    tok[bs + fill : bs + fill + m] = toks2[s, :pl]
+                tok[fill : fill + m] = src_a[s, :pl]
+                if src_b is not None:
+                    tok[bs + fill : bs + fill + m] = src_b[s, :pl]
                 if need_len:
-                    ln[fill : fill + m] = lens[s]
-                    if lens2 is not None:
-                        ln[bs + fill : bs + fill + m] = lens2[s]
+                    ln[fill : fill + m] = lna[s]
+                    if paired:
+                        ln[bs + fill : bs + fill + m] = lnb[s]
                 idxs[fill : fill + m] = (
                     np.arange(off, off + m, dtype=np.int32) + row0
                     if contiguous
@@ -1161,6 +1236,14 @@ class NativeRunner:
             for group in fhs.values():
                 for fh in group:
                     self._writer.close_fh(fh)
+            # own-chunk completion manifest: runs on the writer thread
+            # strictly AFTER the ordered closes above, so it never names a
+            # chunk whose parts are still open (group relaunch skips it)
+            parts, p, ci = self._parts, self.p, acc.ci
+            records, snap = acc.records_cum, dict(counts)
+            self._writer.call(
+                lambda: parts.complete_chunk(p, ci, records, snap)
+            )
 
     def run_bucketed(self, buckets):
         """THE run loop: single- and paired-end bucketed streaming (the
@@ -1177,33 +1260,46 @@ class NativeRunner:
 
         paired = p.is_paired
         p._resume_buckets = list(buckets)  # part of the manifest config key
+        distributed = getattr(p, "distributed", False)
         resume = (
-            ResumeState.maybe(p) if getattr(p.args, "resume", False) else None
+            ResumeState.maybe(p)
+            if getattr(p.args, "resume", False) and not distributed
+            else None
         )
         self._resume = resume
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
         rpc = self._records_per_chunk()
         streams = [
-            make_chunk_stream(f, p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH)
+            make_chunk_stream(
+                f, p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH,
+                timer=p.timer,
+            )
             for f in p.input
         ]
-        parts = DistributedParts(p) if getattr(p, "distributed", False) else None
+        parts = DistributedParts(p) if distributed else None
+        self._parts = parts
         self._parts_mode = parts is not None
         if resume:
             num_read, counts = resume.restore(p)
             fhs = None
-            if self._pbar is not None and num_read:
-                # the live bar resumes from the restored record count so its
-                # total agrees with the final summary
-                self._pbar.n = num_read
-                self._pbar.refresh()
+        elif parts and getattr(p.args, "resume", False):
+            # coordinated group relaunch: seed from this host's completion
+            # manifest; completed own chunks are skipped parse-only below
+            num_read, counts = parts.restore(p)
+            fhs = None
         else:
             fhs = None if parts else p._open_outputs(binary=True)
+        if self._pbar is not None and num_read:
+            # the live bar resumes from the restored record count so its
+            # total agrees with the final summary
+            self._pbar.n = num_read
+            self._pbar.refresh()
         self._counts = counts
         self._writer = _Writer(
             compress_threads=self._compress_threads(),
             gz_level=getattr(p, "gz_level", None),
+            timer=p.timer,
             on_level_drop=lambda lvl: p.logger.info(
                 "write stage is the bottleneck: dropping gz output "
                 "compression to libdeflate level %d for the rest of the "
@@ -1234,12 +1330,14 @@ class NativeRunner:
             workers = self._dispatchers_cfg
             if workers is None:
                 workers = 2 if len(buckets) == 1 else 4
-            self._bucket_dispatcher = ThreadPoolExecutor(max_workers=int(workers))
+            self._bucket_dispatcher = ThreadPoolExecutor(
+                max_workers=int(workers), thread_name_prefix="rd-dispatch"
+            )
             from collections import Counter
 
             self._pinned = (Counter(), Counter())
             infers, stagers = self._bucket_infers(buckets)
-            partial = [None] * len(buckets)
+            partial = [None] * len(stagers)
             from collections import deque
 
             pending = deque()
@@ -1255,6 +1353,14 @@ class NativeRunner:
                 if self._hosts > 1 and not host_chunk_assignment(
                     ci, self._hosts, self._host_id
                 ):
+                    with timer.stage("parse"):
+                        for c in curs:
+                            c.skip(rpc)
+                    ci += 1
+                    continue
+                if parts and parts.skip_chunk(ci):
+                    # own chunk already completed before a group relaunch:
+                    # its parts are final on disk -- advance parse-only
                     with timer.stage("parse"):
                         for c in curs:
                             c.skip(rpc)
@@ -1288,23 +1394,34 @@ class NativeRunner:
                         self._finish_bucketed(*pending.popleft())
                     self._pin_windows(acc, takes)
                     row0 = acc.n
-                    d, bo, toks, lens, recs, start = takes[0]
+                    d, bo, toks, toks_b2, lens, ok2, recs, start = takes[0]
                     acc.segs.append((d, bo, recs, start, cnt, row0))
                     b_idx = route_records(lens, toks, buckets, p.len)
+                    nb = np.int16(len(buckets))  # the 2-bit lane's index
                     if paired:
-                        d2, bo2, toks2, lens2, recs2, start2 = takes[1]
+                        (d2, bo2, toksB, toksB_b2, lensB, ok2B, recs2,
+                         start2) = takes[1]
                         acc.segs2.append((d2, bo2, recs2, start2, cnt, row0))
                         b_idx = np.maximum(
-                            b_idx, route_records(lens2, toks2, buckets, p.len)
+                            b_idx, route_records(lensB, toksB, buckets, p.len)
                         )
+                        if self._b2_enabled:
+                            # a pair rides the 2-bit lane only when BOTH
+                            # ends are eligible (one device batch per pair)
+                            b_idx = np.where(
+                                (ok2 != 0) & (ok2B != 0), nb, b_idx
+                            )
                         self._route_into(
                             pending, infers, stagers, partial, acc, b_idx,
-                            toks, lens, toks2, lens2, row0=row0,
+                            [(toks, toks_b2, lens), (toksB, toksB_b2, lensB)],
+                            row0=row0,
                         )
                     else:
+                        if self._b2_enabled:
+                            b_idx = np.where(ok2 != 0, nb, b_idx)
                         self._route_into(
                             pending, infers, stagers, partial, acc, b_idx,
-                            toks, lens, row0=row0,
+                            [(toks, toks_b2, lens)], row0=row0,
                         )
                     acc.n += cnt
                     done += cnt
@@ -1659,10 +1776,105 @@ class DistributedParts:
     this is the TPU-native design from SURVEY.md 5 (per-host shards +
     DCN-merged counters, outputs concatenated in deterministic shard
     order).
+
+    Restartability (round 5): every coordinated run ALWAYS records, in a
+    per-host manifest (`<output[0]>.parts.hostNNN.progress.json`, atomic
+    replace on the writer thread after the chunk's part files close), how
+    many of its own chunks completed plus the cumulative record/class
+    counts. When the group is relaunched with --resume after a host died
+    (the survivors fail their --barrier-timeout watchdog, so the
+    operational unit of restart is the whole group, same commands), each
+    host skips its already-completed chunks -- parse-only, no device work,
+    parts untouched on disk -- and only the dead host's unfinished chunk
+    is reprocessed (its partial part files are truncated on open). The
+    manifest is keyed to the full run configuration + weights digest like
+    single-host --resume; a mismatch refuses loudly.
     """
 
     def __init__(self, p):
-        del p  # stateless: the Predictor is passed to each method instead
+        self.host_id = int(getattr(p, "host_id", 0) or 0)
+        self.manifest_path = "{}.parts.host{:03d}.progress.json".format(
+            p.output[0], self.host_id
+        )
+        self.chunks_done = 0  # completed OWN chunks (FIFO => a prefix)
+        self.records_done = 0
+        self.counts = {}
+        self._own_seen = 0
+        self._wd = None
+
+    # -- config identity (same policy as ResumeState._config_key) -------
+
+    def _config_key(self, p):
+        key = ResumeState._config_key(self, p)
+        key["pv"] = 1  # parts-manifest layout version
+        key["hosts"] = p.hosts
+        key["host_id"] = self.host_id
+        return key
+
+    _weights_digest = ResumeState._weights_digest
+
+    # -- lifecycle -------------------------------------------------------
+
+    def restore(self, p):
+        """Load this host's manifest (--resume relaunch). Returns
+        (records_done, counts) to seed the run's accumulators."""
+        counts = {"norrna": 0, "rrna": 0, "unclf": 0}
+        if os.path.exists(self.manifest_path):
+            try:
+                with open(self.manifest_path) as fh:
+                    m = json.load(fh)
+            except ValueError as e:
+                raise RuntimeError(
+                    "--resume manifest {} is corrupt (interrupted while "
+                    "being written?); remove it to start fresh.".format(
+                        self.manifest_path
+                    )
+                ) from e
+            if m.get("config") != self._config_key(p):
+                raise RuntimeError(
+                    "--resume manifest {} was written by a different run "
+                    "configuration; remove it (and the .parts dirs) to "
+                    "start fresh.".format(self.manifest_path)
+                )
+            self.chunks_done = int(m["chunks_done"])
+            self.records_done = int(m["records_done"])
+            counts.update(m["counts"])
+            p.logger.info(
+                "Coordinated resume: skipping {} completed chunks "
+                "({} records) on host {}".format(
+                    self.chunks_done, self.records_done, self.host_id
+                )
+            )
+        return self.records_done, counts
+
+    def skip_chunk(self, ci):
+        """True when this own chunk already completed in an earlier run
+        (completion is FIFO, so the first chunks_done own chunks are
+        exactly the completed set). Call once per OWN chunk, in order."""
+        del ci
+        self._own_seen += 1
+        return self._own_seen <= self.chunks_done
+
+    def complete_chunk(self, p, ci, num_read, counts):
+        """Record own-chunk completion. Runs on the writer thread strictly
+        after the chunk's part files were closed (ordered close_fh), so a
+        manifest entry always refers to fully-written parts."""
+        tmp = self.manifest_path + ".tmp"
+        self.chunks_done += 1
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "config": self._config_key(p),
+                    "chunks_done": self.chunks_done,
+                    "last_chunk": ci,
+                    "records_done": num_read,
+                    "counts": counts,
+                },
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.manifest_path)
 
     @staticmethod
     def _part_path(final_path, ci):
@@ -1688,7 +1900,8 @@ class DistributedParts:
 
     def merge(self, p):
         """Concatenate all hosts' part files into the final outputs (chunk
-        order) and clean up."""
+        order) and clean up, including every host's completion manifest."""
+        import glob
         import shutil
 
         def chunk_index(name):
@@ -1710,3 +1923,10 @@ class DistributedParts:
                     # truncate a pre-existing file that has no parts to
                     # rebuild it from (defense against misconfigured calls)
                     open(f, "wb").close()
+        # every host is past the pre-merge barrier (manifests final): the
+        # run succeeded, so completion state must not leak
+        for m in glob.glob(p.output[0] + ".parts.host*.progress.json"):
+            try:
+                os.remove(m)
+            except OSError:  # pragma: no cover - shared-fs races
+                pass

@@ -57,8 +57,14 @@ class Predictor:
         self.logger = config.get_logger("predict", 1, getattr(args, "log", None))
         self.chunk_size = getattr(args, "chunk_size", None)
         # jitted-step memo (keyed by shape/emit/pad_gap): one Predictor can
-        # serve many detect() runs (serve.py) without re-tracing per run
+        # serve many detect() runs (serve.py) without re-tracing per run.
+        # The lock serializes memo misses: serve's --concurrency mode runs
+        # jobs on shallow copies SHARING this cache, and two threads
+        # building the same key would trace twice (benign but wasteful).
+        import threading
+
         self._infer_cache = {}
+        self._infer_lock = threading.Lock()
         from ribodetector_tpu.runtime.profiling import StageTimer
 
         self.timer = StageTimer(enabled=bool(getattr(args, "profile", False)))
@@ -270,7 +276,8 @@ class Predictor:
             except OSError:  # pragma: no cover
                 pass
 
-    def _build_infer(self, packed_max_len=None, emit="logits", pad_gap=0):
+    def _build_infer(self, packed_max_len=None, emit="logits", pad_gap=0,
+                     fmt="b5"):
         """Jitted classify step.
 
         packed_max_len=None: infer(tokens [B,T] uint8, lengths) -- the
@@ -278,6 +285,13 @@ class Predictor:
         base-5 packed, lengths) -- the native path's 3x-smaller host->device
         transfer, unpacked on device (ops.unpack_b5_tokens); lengths is
         ignored (and never transferred) for dense semantics.
+
+        fmt: packed-row format for the packed_max_len path -- "b5" (base-5,
+        3 tokens/byte, any token) or "b2" (2-bit, 4 tokens/byte, clean
+        ACGTU-only full-length reads; ops.unpack_b2_tokens). The native
+        runner routes eligible records to a b2 lane for the 25% smaller
+        transfer; tokens after unpack are identical, so logits/labels are
+        bit-identical between formats.
 
         emit: "logits" -> [B, 2] fp32; "labels" -> [B] int8 per-read argmax;
         ("pair_labels", ensure) -> [B//2] int8 final pair labels with R1 in
@@ -291,20 +305,33 @@ class Predictor:
         zero_prefix_state(params, pad_gap) -- exact for every read routed
         to the bucket (models/bilstm.py zero_prefix_state docstring).
 
-        Memoized per (packed_max_len, emit, pad_gap): repeat detect() runs
-        on one Predictor (serve mode) reuse the traced step.
+        Memoized per (packed_max_len, emit, pad_gap, fmt): repeat detect()
+        runs on one Predictor (serve mode) reuse the traced step.
         """
-        memo_key = (packed_max_len, emit, pad_gap)
+        memo_key = (packed_max_len, emit, pad_gap, fmt)
         cached = self._infer_cache.get(memo_key)
         if cached is not None:
             return cached
+        with self._infer_lock:
+            cached = self._infer_cache.get(memo_key)
+            if cached is not None:
+                return cached
+            return self._build_infer_locked(memo_key)
+
+    def _build_infer_locked(self, memo_key):
+        packed_max_len, emit, pad_gap, fmt = memo_key
         import jax
         import jax.numpy as jnp
 
         from ribodetector_tpu.models.bilstm import zero_prefix_state
         from ribodetector_tpu.ops import classify_logits
-        from ribodetector_tpu.ops.dispatch import unpack_b5_tokens
+        from ribodetector_tpu.ops.dispatch import (
+            unpack_b2_tokens,
+            unpack_b5_tokens,
+        )
         from ribodetector_tpu.runtime.ensure import paired_final_labels_jnp
+
+        unpack = unpack_b2_tokens if fmt == "b2" else unpack_b5_tokens
 
         if self.mesh is not None:
             from ribodetector_tpu.parallel.mesh import replicated
@@ -408,14 +435,14 @@ class Predictor:
 
             @jax.jit
             def infer_packed(ptokens, lengths):
-                return classify(unpack_b5_tokens(ptokens, max_len), lengths)
+                return classify(unpack(ptokens, max_len), lengths)
 
             self._infer_cache[memo_key] = infer_packed
             return infer_packed
 
         @jax.jit
         def infer_dense(ptokens):
-            return classify(unpack_b5_tokens(ptokens, max_len), None)
+            return classify(unpack(ptokens, max_len), None)
 
         ret = lambda ptokens, lengths=None: infer_dense(ptokens)
         self._infer_cache[memo_key] = ret
@@ -489,8 +516,15 @@ class Predictor:
                 raise RuntimeError(
                     f"--host-id {self.host_id} out of range [0, {self.hosts})"
                 )
-            if getattr(self.args, "resume", False):
-                raise RuntimeError("--resume cannot be combined with --hosts")
+            if getattr(self.args, "resume", False) and not self.distributed:
+                # uncoordinated shards have no completion manifest; the
+                # coordinated parts mode records per-host progress and
+                # supports group relaunch with --resume
+                raise RuntimeError(
+                    "--resume with --hosts requires the coordinated mode "
+                    "(--coordinator): per-host completion manifests live "
+                    "in the shared parts layout"
+                )
             if not self._use_native():
                 raise RuntimeError(
                     "--hosts requires the native streaming path "

@@ -57,6 +57,15 @@ def build_arg_parser():
     ap.add_argument("--buckets", default=None, type=str)
     ap.add_argument("--gz-level", default=None, type=int, choices=range(1, 13),
                     metavar="{1..12}")
+    ap.add_argument("--concurrency", default=1, type=int,
+                    help="jobs processed in parallel (default 1 = strictly "
+                    "sequential). 2 overlaps job i+1's parse/prefetch with "
+                    "job i's classify/write drain, lifting job-stream "
+                    "throughput for many-small-files workloads; responses "
+                    "still come back in request order, and per-job errors "
+                    "stay isolated. Each in-flight job runs on a shallow "
+                    "Predictor copy sharing the loaded weights and "
+                    "compiled steps.")
     return ap
 
 
@@ -74,7 +83,12 @@ class Server:
             # this bridge too); do it here so DIRECT Server users get the
             # kernel they asked for, not silently the config default
             config.config.setdefault("runtime", {})["kernel"] = args.kernel
+        import threading
+
         self._predictors = {}  # weight key ("mcc"/"recall") -> Predictor
+        # --concurrency runs jobs on pool threads: constructing a (second)
+        # Predictor must not race another job's lookup
+        self._pred_lock = threading.Lock()
 
     def _job_args(self, req):
         ensure = req.get("ensure", "none")
@@ -130,6 +144,10 @@ class Server:
     def _predictor_for(self, job_args):
         # quirk #6: -e norrna selects the "recall" weights key
         key = "recall" if job_args.ensure == "norrna" else "mcc"
+        with self._pred_lock:
+            return self._predictor_for_locked(job_args, key)
+
+    def _predictor_for_locked(self, job_args, key):
         if key not in self._predictors:
             from ribodetector_tpu.runtime import Predictor
 
@@ -154,14 +172,22 @@ class Server:
         return self._predictors[key]
 
     def run_job(self, req):
+        import copy
+
         job_args = self._job_args(req)
         p = self._predictor_for(job_args)
-        # rebind the per-job fields on the long-lived Predictor
-        p.args = job_args
-        p.chunk_size = job_args.chunk_size
+        # each job runs on a SHALLOW COPY of the long-lived Predictor:
+        # per-job fields (args, input/output paths, batch size, counters)
+        # live on the copy while the loaded params, jitted-step memo (and
+        # its lock) and logger are shared -- so --concurrency > 1 can
+        # overlap jobs without cross-talk, and even sequential jobs can't
+        # leak state into each other
+        pj = copy.copy(p)
+        pj.args = job_args
+        pj.chunk_size = job_args.chunk_size
         t0 = time.time()
-        p.detect()
-        num_read, counts = p._final
+        pj.detect()
+        num_read, counts = pj._final
         return {
             "status": "ok",
             "num_read": num_read,
@@ -170,15 +196,15 @@ class Server:
         }
 
     def serve(self, lines, out):
-        for line in lines:
-            line = line.strip()
-            if not line:
-                continue
-            rid = None
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = max(1, int(getattr(self.args, "concurrency", 1) or 1))
+        pending = deque()  # (rid, future) in request order
+
+        def emit(rid, fut):
             try:
-                req = json.loads(line)
-                rid = req.get("id")
-                resp = self.run_job(req)
+                resp = fut.result()
             except BaseException as e:  # noqa: BLE001 - per-job isolation
                 if isinstance(e, (KeyboardInterrupt, SystemExit)):
                     raise
@@ -186,6 +212,35 @@ class Server:
             resp["id"] = rid
             out.write(json.dumps(resp) + "\n")
             out.flush()
+
+        with ThreadPoolExecutor(workers, thread_name_prefix="rd-job") as pool:
+            for line in lines:
+                line = line.strip()
+                if not line:
+                    continue
+                rid = None
+                try:
+                    req = json.loads(line)
+                    rid = req.get("id")
+                    fut = pool.submit(self.run_job, req)
+                except BaseException as e:  # malformed request line
+                    if isinstance(e, (KeyboardInterrupt, SystemExit)):
+                        raise
+                    emit_err = {"status": "error",
+                                "error": f"{type(e).__name__}: {e}", "id": rid}
+                    # responses stay in request order: flush prior jobs first
+                    while pending:
+                        emit(*pending.popleft())
+                    out.write(json.dumps(emit_err) + "\n")
+                    out.flush()
+                    continue
+                pending.append((rid, fut))
+                # keep at most `workers` jobs in flight; with workers=1
+                # this is exactly the old strictly-sequential behavior
+                while len(pending) >= workers + (1 if workers > 1 else 0):
+                    emit(*pending.popleft())
+            while pending:
+                emit(*pending.popleft())
 
 
 def main(argv=None, stdin=None, stdout=None):

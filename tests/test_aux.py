@@ -199,23 +199,37 @@ def test_resume_empty_input_creates_empty_outputs(tmp_path):
 
 
 def test_profile_and_trace_dir_smoke(tmp_path, capfd):
-    """--profile logs a per-stage breakdown; --trace-dir captures a
-    jax.profiler trace (SURVEY.md 5: the reference has neither)."""
+    """--profile logs a per-stage breakdown INCLUDING per-thread worker
+    stages (inflate/parse/write run off the main thread; round-4 verdict:
+    main-thread timers alone can't answer "what do I tune on N cores");
+    --trace-dir captures a jax.profiler trace (SURVEY.md 5: the reference
+    has neither)."""
+    import gzip as _gzip
+
     from ribodetector_tpu import native
     from ribodetector_tpu.cli import main as cli_main
 
     if not native.available():
         pytest.skip("native extension unavailable")
-    inp = tmp_path / "in.fq"
-    with open(inp, "w") as fh:
-        for i in range(300):
-            fh.write(f"@s{i}\n{'ACGT' * 15}\n+\n{'I' * 60}\n")
+    inp = tmp_path / "in.fq.gz"
+    recs = []
+    for i in range(300):
+        recs.append(f"@s{i}\n{'ACGT' * 15}\n+\n{'I' * 60}\n")
+    with open(inp, "wb") as fh:
+        fh.write(_gzip.compress("".join(recs).encode()))
     trace_dir = tmp_path / "trace"
     cli_main(["-l", "60", "-i", str(inp), "-o", str(tmp_path / "o.fq"),
               "-m", "3", "--chunk_size", "1", "--profile",
               "--trace-dir", str(trace_dir)])
     text = capfd.readouterr().err
     assert "stage timings" in text and "infer_wait" in text
+    # worker-thread attribution rows (role:stage), with thread counts
+    assert "worker threads" in text
+    assert "inflate:inflate" in text
+    assert "parse:parse_work" in text
+    assert "write:write_io" in text
+    assert "dispatch:h2d_call" in text
+    assert "[1 thread]" in text or "[2 threads]" in text
     # the profiler wrote something under the trace dir
     assert trace_dir.exists()
     assert any(trace_dir.rglob("*")), "trace dir is empty"

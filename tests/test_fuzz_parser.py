@@ -74,7 +74,7 @@ def test_native_stream_matches_portable_parser(tmp_path, seed, gz):
     got_lengths = []
     # small chunks + tiny windows force mid-record window carries
     stream = FastqChunkStream(str(path), MAX_LEN, 64, window_bytes=4096)
-    for data, offsets, ptokens, lengths, clean, cnt in stream:
+    for data, offsets, ptokens, ptokens2, lengths, clean, b2ok, cnt in stream:
         text = records_from_chunk_bytes(data, offsets, cnt)
         got_records.extend(text)
         # unpack base-5 rows to compare token content

@@ -144,7 +144,7 @@ def test_chunk_stream_multimember_gzip_and_small_caps(tmp_path, rng):
         fh.write(_gzip.compress(b"".join(recs[40:])))
     for cap in (7, 1000):
         got = []
-        for data, offsets, ptokens, lengths, clean, n in FastqChunkStream(
+        for data, offsets, ptokens, ptokens2, lengths, clean, b2ok, n in FastqChunkStream(
             str(path), 100, cap
         ):
             assert n <= cap
@@ -205,7 +205,7 @@ def _fasta_stream_records(path, max_len=100, cap=1000):
     from ribodetector_tpu.runtime.native_pipeline import FastaChunkStream
 
     recs, toks, lens = [], [], []
-    for data, offsets, ptokens, lengths, clean, n in FastaChunkStream(
+    for data, offsets, ptokens, ptokens2, lengths, clean, b2ok, n in FastaChunkStream(
         str(path), max_len, cap
     ):
         assert clean[:n].all()

@@ -180,3 +180,48 @@ def test_serve_rejects_malformed_requests(tmp_path, rng):
     assert "LIST of paths" in resps[0]["error"]
     assert "chunk_size" in resps[1]["error"]
     assert "ensure" in resps[2]["error"]
+
+
+def test_serve_concurrency_two_overlaps_jobs(tmp_path, rng, torch_reference):
+    """--concurrency 2: responses come back in request order with correct
+    per-job results (each job runs on a Predictor copy; a failing job in
+    the middle stays isolated), and the same golden partition holds."""
+    dense_logits, _ = torch_reference
+    from ribodetector_tpu.encode import encode_batch, tokens_to_onehot_np
+
+    LEN = 60
+    seqs = random_reads(rng, 80, lmin=20, lmax=LEN)
+    names = [f"c{i}" for i in range(len(seqs))]
+    t, _ = encode_batch(seqs, LEN)
+    want = dense_logits(tokens_to_onehot_np(t)).argmax(1)
+
+    jobs = []
+    for j in range(6):
+        inp = tmp_path / f"cin{j}.fq"
+        write_fastq(inp, names, seqs)
+        jobs.append({
+            "id": j,
+            "input": [str(inp)],
+            "output": [str(tmp_path / f"co{j}.fq")],
+            "rrna": [str(tmp_path / f"cr{j}.fq")],
+        })
+    jobs.insert(3, {"id": 99, "input": [str(tmp_path / "nope.fq")],
+                    "output": [str(tmp_path / "x.fq")]})
+
+    resps = run_server(
+        jobs, ["-l", str(LEN), "-t", "2", "--concurrency", "2",
+               "--kernel", "scan"],
+    )
+    assert [r["id"] for r in resps] == [0, 1, 2, 99, 3, 4, 5]
+    assert resps[3]["status"] == "error"
+    for r in resps:
+        if r["id"] == 99:
+            continue
+        assert r["status"] == "ok", r
+        assert r["num_read"] == len(seqs)
+        assert r["counts"]["rrna"] == int((want == 1).sum())
+    # every job's partition matches the torch golden
+    for j in range(6):
+        got_r = set(read_headers(tmp_path / f"cr{j}.fq"))
+        want_r = {f"@c{i}" for i in range(len(seqs)) if want[i] == 1}
+        assert got_r == want_r
