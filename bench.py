@@ -630,19 +630,46 @@ def main():
         return [round(v / (cpu_runs[-1] * GPU_OVER_CPU), 2),
                 round(v / (cpu_runs[0] * GPU_OVER_CPU), 2)]
 
+    paired_val = e2e.get("e2e_paired_reads_per_sec")
     e2e_val = e2e.get("e2e_plain_reads_per_sec")
-    if e2e_val:
+    if paired_val and e2e.get("e2e_paired_partition") == "ok":
+        # the north-star workload (BASELINE.json: paired-end 100bp, gz in,
+        # ensure-mode reconciliation, bit-identical partitioning) is the
+        # headline; single-end plain/gz variants stay in their own keys
         headline = {
-            "metric": "END-TO-END CLI throughput, {}M x 100bp single-end "
-                      "reads, plain in/out, best-of-2 real tool runs incl. "
-                      "parse + classify + write (gz and PAIRED-END gz -e "
-                      "both variants, per-stage breakdown, host-CPU "
-                      "saturation, torch-golden partition check and the "
-                      "device-stage classify rate are in the extra keys; "
+            "metric": "END-TO-END CLI throughput on the NORTH-STAR workload: "
+                      "{}M x 100bp PAIRED-END reads ({} pairs), gz in, -e "
+                      "both, six gz outputs, best-of-2 real tool runs incl. "
+                      "parse + classify + pair reconciliation + write, "
+                      "partition of a 4096-pair subsample verified against "
+                      "the torch reference golden ({} flips). Single-end "
+                      "plain/gz variants, per-stage per-thread breakdown and "
+                      "the device-stage classify rate are in the extra keys; "
                       "baseline: RiboDetector-GPU estimate = 5x measured "
                       "reference-equivalent torch-CPU -- median of {} "
                       "idle-host anchor runs, min/max band in "
-                      "vs_baseline_band -- reference README.md:6 ratios)".format(
+                      "vs_baseline_band -- reference README.md:6 ratios".format(
+                          round(2 * e2e.get("e2e_paired_pairs", E2E_PAIRS) / 1e6, 1),
+                          e2e.get("e2e_paired_pairs"),
+                          e2e.get("e2e_paired_partition_flips"),
+                          len(cpu_runs) if cpu_runs else 0,
+                      ),
+            "value": paired_val,
+            "unit": "reads/sec",
+            "vs_baseline": vs(paired_val),
+        }
+    elif e2e_val:
+        headline = {
+            "metric": "END-TO-END CLI throughput, {}M x 100bp single-end "
+                      "reads, plain in/out, best-of-2 real tool runs incl. "
+                      "parse + classify + write (gz variant, per-stage "
+                      "breakdown, host-CPU saturation and the device-stage "
+                      "classify rate are in the extra keys; paired measure "
+                      "unavailable this run; baseline: RiboDetector-GPU "
+                      "estimate = 5x measured reference-equivalent "
+                      "torch-CPU -- median of {} idle-host anchor runs, "
+                      "min/max band in vs_baseline_band -- reference "
+                      "README.md:6 ratios)".format(
                           round(e2e.get("e2e_reads", E2E_READS) / 1e6, 1),
                           len(cpu_runs) if cpu_runs else 0,
                       ),
@@ -667,6 +694,7 @@ def main():
         "device_stage_reads_per_sec": round(value, 1),
         "device_stage_vs_baseline": vs(value),
         **e2e,
+        "e2e_plain_vs_baseline": vs(e2e.get("e2e_plain_reads_per_sec")),
         "e2e_gz_vs_baseline": vs(e2e.get("e2e_gz_reads_per_sec")),
         "e2e_paired_vs_baseline": vs(e2e.get("e2e_paired_reads_per_sec")),
         "baseline_gpu_estimate": round(gpu_est, 1) if gpu_est else None,

@@ -121,15 +121,26 @@ class FastqChunkStream:
         # adaptive fill target keeps the leftover tail small: aim slightly
         # past cap records at the running mean record size
         self._avg_rec = 280.0
-        cap = self.cap + 2
-        pl = native.b5_packed_len(max_len)
-        pl2 = native.b2_packed_len(max_len)
         # per slot: window, offsets, base-5 rows, lengths, clean flags,
         # 2-bit rows + per-record b2 eligibility (the FASTQ parser emits
         # both packings in one pass; b2ok records route to the 25%-smaller
-        # 2-bit transfer lane -- fastx.cpp rd_parse_fastq_b5b2)
-        self._slots = [
-            (
+        # 2-bit transfer lane -- fastx.cpp rd_parse_fastq_b5b2).
+        # Slots allocate LAZILY on first rotation: eagerly memsetting the
+        # whole pool (12 x ~37 MB windows at default sizing, x2 for
+        # paired) was most of the measured ~1.7 s fixed startup
+        # (experiments/E2E_r04.md) and charged runs that never cycle past
+        # slot 2; lazy, the first-touch page faults of slots 3..11 overlap
+        # device compute instead of preceding it.
+        self._slots = [None] * self.slots
+        self._si = 0
+
+    def _slot(self, si):
+        s = self._slots[si]
+        if s is None:
+            cap = self.cap + 2
+            pl = native.b5_packed_len(self.max_len)
+            pl2 = native.b2_packed_len(self.max_len)
+            s = (
                 bytearray(self.win_bytes),
                 np.zeros((cap, 2), np.int64),
                 np.zeros((cap, pl), np.uint8),
@@ -138,9 +149,8 @@ class FastqChunkStream:
                 np.zeros((cap, pl2), np.uint8),
                 np.zeros(cap, np.uint8),
             )
-            for _ in range(self.slots)
-        ]
-        self._si = 0
+            self._slots[si] = s
+        return s
 
     def _fill_plain(self, mv, pos, target):
         while pos < target and not self._eof:
@@ -220,7 +230,7 @@ class FastqChunkStream:
         import ctypes
 
         lib = native._load()
-        win, offsets, ptokens, lengths, clean, ptokens2, b2ok = self._slots[si]
+        win, offsets, ptokens, lengths, clean, ptokens2, b2ok = self._slot(si)
         pl = native.b5_packed_len(self.max_len)
         pl2 = native.b2_packed_len(self.max_len)
         consumed = np.zeros(1, np.int64)
@@ -282,7 +292,7 @@ class FastqChunkStream:
         while True:
             si = self._si
             self._si = (self._si + 1) % self.slots
-            win = self._slots[si][0]
+            win = self._slot(si)[0]
             mv = memoryview(win)
             pos = len(self._tail)
             mv[:pos] = self._tail
@@ -323,7 +333,7 @@ class FastqChunkStream:
                 continue
             self._avg_rec = 0.5 * self._avg_rec + 0.5 * (used / n)
             self._tail = bytes(win[used:pos])
-            _, offsets, ptokens, lengths, clean, ptokens2, b2ok = self._slots[si]
+            _, offsets, ptokens, lengths, clean, ptokens2, b2ok = self._slot(si)
             yield (
                 data, offsets[:n], ptokens[:n], ptokens2[:n], lengths[:n],
                 clean[:n], b2ok[:n], n,
@@ -360,16 +370,21 @@ class FastaChunkStream(FastqChunkStream):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         # normalization can GROW text (\">x\\n\" -> \">x\\n\\n\"; an\n        # unterminated final line gains its newline): worst case 4/3 x
-        self._norms = [
-            bytearray(self.win_bytes * 4 // 3 + 16) for _ in range(self.slots)
-        ]
+        self._norms = [None] * self.slots  # lazy, like the base slots
+
+    def _norm(self, si):
+        n = self._norms[si]
+        if n is None:
+            n = bytearray(self.win_bytes * 4 // 3 + 16)
+            self._norms[si] = n
+        return n
 
     def _parse_window(self, si, pos, at_eof):
         import ctypes
 
         lib = native._load()
-        win, offsets, ptokens, lengths, clean, ptokens2, b2ok = self._slots[si]
-        norm = self._norms[si]
+        win, offsets, ptokens, lengths, clean, ptokens2, b2ok = self._slot(si)
+        norm = self._norm(si)
         pl = native.b5_packed_len(self.max_len)
         consumed = np.zeros(1, np.int64)
         norm_used = np.zeros(1, np.int64)
