@@ -1551,6 +1551,39 @@ class NativeRunner:
                 self._bucket_dispatcher.shutdown(wait=False, cancel_futures=True)
 
 
+def _atomic_json_dump(path, obj):
+    """Write obj as JSON via tmp+fsync+rename: the rename must never beat
+    the data to disk (shared by both resume-manifest writers)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def _load_manifest(path, want_config, what="--resume manifest"):
+    """Load a completion manifest, refusing corrupt or mismatched-config
+    files with the same wording both resume flavors use. Returns the
+    parsed dict or None when the file does not exist."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as fh:
+            m = json.load(fh)
+    except ValueError as e:
+        raise RuntimeError(
+            "{} {} is corrupt (interrupted while being written?); remove "
+            "it to start fresh.".format(what, path)
+        ) from e
+    if m.get("config") != want_config:
+        raise RuntimeError(
+            "{} {} was written by a different run configuration; remove "
+            "it to start fresh.".format(what, path)
+        )
+    return m
+
+
 def output_groups(p):
     """{group: [final output paths]} for a Predictor's run (norrna always;
     rrna when requested; unclf for paired -e both, quirk #5)."""
@@ -1658,24 +1691,8 @@ class ResumeState:
         input cursor (record-exact, so paired inputs stay aligned)."""
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
-        if os.path.exists(self.manifest_path):
-            try:
-                with open(self.manifest_path) as fh:
-                    m = json.load(fh)
-            except ValueError as e:
-                raise RuntimeError(
-                    "--resume manifest {} is corrupt (interrupted while "
-                    "being written?); remove it to start fresh.".format(
-                        self.manifest_path
-                    )
-                ) from e
-            if m.get("config") != self._config_key(p):
-                raise RuntimeError(
-                    "--resume manifest {} was written by a different run "
-                    "configuration; remove it to start fresh.".format(
-                        self.manifest_path
-                    )
-                )
+        m = _load_manifest(self.manifest_path, self._config_key(p))
+        if m is not None:
             self.chunks_done = int(m["chunks_done"])
             num_read = int(m["records_done"])
             counts.update(m["counts"])
@@ -1733,21 +1750,16 @@ class ResumeState:
             for f, fh in zip(groups[group], handles):
                 fh.flush()
                 offsets[f] = fh.tell()
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "config": self._config_key(p),
-                    "chunks_done": ci + 1,
-                    "records_done": num_read,
-                    "counts": counts,
-                    "offsets": offsets,
-                },
-                fh,
-            )
-            fh.flush()
-            os.fsync(fh.fileno())  # the rename must never beat the data
-        os.replace(tmp, self.manifest_path)
+        _atomic_json_dump(
+            self.manifest_path,
+            {
+                "config": self._config_key(p),
+                "chunks_done": ci + 1,
+                "records_done": num_read,
+                "counts": counts,
+                "offsets": offsets,
+            },
+        )
         self.chunks_done = ci + 1
 
     def close_handles(self):
@@ -1808,6 +1820,7 @@ class DistributedParts:
 
     def __init__(self, p):
         self.host_id = int(getattr(p, "host_id", 0) or 0)
+        self.hosts = max(1, int(getattr(p, "hosts", 1) or 1))
         self.manifest_path = "{}.parts.host{:03d}.progress.json".format(
             p.output[0], self.host_id
         )
@@ -1815,6 +1828,8 @@ class DistributedParts:
         self.records_done = 0
         self.counts = {}
         self._own_seen = 0
+        self._last_ci = -1
+        self._part_sizes = {}  # part path -> bytes, for completed chunks
         self._wd = None
 
     # -- config identity (same policy as ResumeState._config_key) -------
@@ -1831,26 +1846,29 @@ class DistributedParts:
     # -- lifecycle -------------------------------------------------------
 
     def restore(self, p):
-        """Load this host's manifest (--resume relaunch). Returns
-        (records_done, counts) to seed the run's accumulators."""
+        """Load this host's manifest (--resume relaunch) and VERIFY every
+        completed chunk's part files still exist at their recorded sizes
+        (an intervening non-resume relaunch truncates parts on open, so a
+        stale manifest without this check would silently merge a partial
+        part). Returns (records_done, counts) to seed the run."""
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
-        if os.path.exists(self.manifest_path):
-            try:
-                with open(self.manifest_path) as fh:
-                    m = json.load(fh)
-            except ValueError as e:
-                raise RuntimeError(
-                    "--resume manifest {} is corrupt (interrupted while "
-                    "being written?); remove it to start fresh.".format(
-                        self.manifest_path
+        m = _load_manifest(self.manifest_path, self._config_key(p))
+        if m is not None:
+            self._part_sizes = dict(m.get("parts", {}))
+            for path, size in self._part_sizes.items():
+                try:
+                    got = os.path.getsize(path)
+                except OSError:
+                    got = -1
+                if got != int(size):
+                    raise RuntimeError(
+                        "--resume: part file {} is {} bytes but the "
+                        "manifest recorded {} -- it was truncated or "
+                        "removed since the run it belongs to (e.g. by a "
+                        "relaunch WITHOUT --resume). Remove the manifest "
+                        "and the .parts directories to start "
+                        "fresh.".format(path, got, size)
                     )
-                ) from e
-            if m.get("config") != self._config_key(p):
-                raise RuntimeError(
-                    "--resume manifest {} was written by a different run "
-                    "configuration; remove it (and the .parts dirs) to "
-                    "start fresh.".format(self.manifest_path)
-                )
             self.chunks_done = int(m["chunks_done"])
             self.records_done = int(m["records_done"])
             counts.update(m["counts"])
@@ -1865,31 +1883,45 @@ class DistributedParts:
     def skip_chunk(self, ci):
         """True when this own chunk already completed in an earlier run
         (completion is FIFO, so the first chunks_done own chunks are
-        exactly the completed set). Call once per OWN chunk, in order."""
-        del ci
+        exactly the completed set). Call once per OWN chunk, in order --
+        both halves of that contract are asserted, so a future reordering
+        of run_bucketed's early-continue paths fails loudly instead of
+        silently skipping the wrong chunks."""
+        assert host_chunk_assignment(ci, self.hosts, self.host_id), (
+            f"skip_chunk called for chunk {ci} not owned by host "
+            f"{self.host_id}/{self.hosts}"
+        )
+        assert ci > self._last_ci, (
+            f"skip_chunk out of order: chunk {ci} after {self._last_ci}"
+        )
+        self._last_ci = ci
         self._own_seen += 1
         return self._own_seen <= self.chunks_done
 
     def complete_chunk(self, p, ci, num_read, counts):
         """Record own-chunk completion. Runs on the writer thread strictly
         after the chunk's part files were closed (ordered close_fh), so a
-        manifest entry always refers to fully-written parts."""
-        tmp = self.manifest_path + ".tmp"
+        manifest entry always refers to fully-written parts -- whose byte
+        sizes are recorded for the restore-time integrity check."""
+        for files in output_groups(p).values():
+            for f in files:
+                path = self._part_path(f, ci)
+                try:
+                    self._part_sizes[path] = os.path.getsize(path)
+                except OSError:  # pragma: no cover - shared-fs races
+                    self._part_sizes[path] = 0
         self.chunks_done += 1
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "config": self._config_key(p),
-                    "chunks_done": self.chunks_done,
-                    "last_chunk": ci,
-                    "records_done": num_read,
-                    "counts": counts,
-                },
-                fh,
-            )
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self.manifest_path)
+        _atomic_json_dump(
+            self.manifest_path,
+            {
+                "config": self._config_key(p),
+                "chunks_done": self.chunks_done,
+                "last_chunk": ci,
+                "records_done": num_read,
+                "counts": counts,
+                "parts": self._part_sizes,
+            },
+        )
 
     @staticmethod
     def _part_path(final_path, ci):
@@ -1939,8 +1971,11 @@ class DistributedParts:
                     # rebuild it from (defense against misconfigured calls)
                     open(f, "wb").close()
         # every host is past the pre-merge barrier (manifests final): the
-        # run succeeded, so completion state must not leak
-        for m in glob.glob(p.output[0] + ".parts.host*.progress.json"):
+        # run succeeded, so completion state must not leak. glob.escape:
+        # an output path containing [, ? or * must not be treated as a
+        # pattern (a missed match here would leak a stale manifest that a
+        # later --resume run could restore from)
+        for m in glob.glob(glob.escape(p.output[0]) + ".parts.host*.progress.json"):
             try:
                 os.remove(m)
             except OSError:  # pragma: no cover - shared-fs races

@@ -86,23 +86,28 @@ class StageTimer:
             lines.append(
                 f"  {name:<16} {t:8.2f}s  {100 * t / wall:5.1f}%  x{self.counts[name]}"
             )
-        if self.worker_totals:
+        # snapshot under the lock: worker threads (prefetchers, deflate
+        # pool) may still be finishing stages while another thread prints
+        # the summary (serve --concurrency shares one timer across jobs)
+        with self._lock:
+            wt = dict(self.worker_totals)
+            wc = dict(self.worker_counts)
+            nth = {k: len(v) for k, v in self._threads.items()}
+        if wt:
             lines.append(
                 "  worker threads (overlap the rows above; seconds summed "
                 "across threads):"
             )
-            for key in sorted(
-                self.worker_totals, key=self.worker_totals.get, reverse=True
-            ):
+            for key in sorted(wt, key=wt.get, reverse=True):
                 role, name = key
-                t = self.worker_totals[key]
-                nthreads = len(self._threads[key])
+                t = wt[key]
+                nthreads = nth[key]
                 lines.append(
                     "  {:<16} {:8.2f}s  {:5.1f}%  x{}  [{} thread{}]".format(
                         f"{role[3:] if role.startswith('rd-') else role}:{name}",
                         t,
                         100 * t / wall,
-                        self.worker_counts[key],
+                        wc[key],
                         nthreads,
                         "s" if nthreads != 1 else "",
                     )
@@ -111,10 +116,11 @@ class StageTimer:
 
     def worker_seconds(self):
         """{'role:stage': seconds} snapshot (bench reporting)."""
-        return {
-            f"{role}:{name}": round(t, 2)
-            for (role, name), t in self.worker_totals.items()
-        }
+        with self._lock:
+            return {
+                f"{role}:{name}": round(t, 2)
+                for (role, name), t in self.worker_totals.items()
+            }
 
 
 @contextmanager

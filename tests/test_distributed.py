@@ -325,3 +325,55 @@ def test_parts_merge_orders_numerically_past_six_digits(tmp_path):
     DistributedParts(p).merge(p)
     assert out.read_bytes() == b"AEBCD"  # 99 < 100001 < 999999 < 1000000 < 1000001
     assert not os.path.exists(parts)
+
+
+def test_parts_resume_refuses_truncated_part(tmp_path):
+    """A parts manifest naming a chunk whose part file was truncated since
+    (e.g. by an intervening relaunch WITHOUT --resume that died early)
+    must refuse to resume instead of silently merging partial output."""
+    import json
+    from types import SimpleNamespace
+
+    from ribodetector_tpu.config import ConfigParser, DEFAULT_CONFIG
+    from ribodetector_tpu.runtime import Predictor
+    from ribodetector_tpu.runtime.native_pipeline import DistributedParts
+
+    _mk_inputs(tmp_path, n=2000)
+    args = SimpleNamespace(
+        len=LEN, input=[str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")],
+        output=[str(tmp_path / "o1.fq"), str(tmp_path / "o2.fq")],
+        rrna=None, ensure="none", threads=1, memory=4, chunk_size=1,
+        log=None, profile=False, trace_dir=None, resume=True,
+        semantics=None, kernel="scan", precision=None, buckets=None,
+        hosts=2, host_id=0, coordinator="127.0.0.1:1", num_hosts=2,
+        deviceid=None, config=None, barrier_timeout=None,
+    )
+    p = Predictor(ConfigParser.from_json(DEFAULT_CONFIG), args)
+    p.load_model()
+    # build the fields detect() would set, enough for the manifest key
+    p.input, p.output, p.rrna = args.input, args.output, None
+    p.distributed, p.hosts, p.host_id = True, 2, 0
+    p.is_paired = True
+    p.batch_size = 1024
+    p.chunk_size = 1
+    p._resume_buckets = [64, 100]
+
+    parts = DistributedParts(p)
+    fhs = parts.open_chunk(p, 0)
+    for group in fhs.values():
+        for fh in group:
+            fh.write(b"@x\nACGT\n+\nIIII\n")
+            fh.close()
+    parts.complete_chunk(p, 0, 1024, {"norrna": 1024, "rrna": 0, "unclf": 0})
+
+    # intact parts: restore succeeds and reports the completed chunk
+    p2 = DistributedParts(p)
+    records, counts = p2.restore(p)
+    assert p2.chunks_done == 1 and records == 1024
+
+    # truncate one part: restore must refuse loudly
+    victim = DistributedParts._part_path(p.output[0], 0)
+    os.truncate(victim, 3)
+    p3 = DistributedParts(p)
+    with pytest.raises(RuntimeError, match="truncated or removed"):
+        p3.restore(p)
