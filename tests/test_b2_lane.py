@@ -155,3 +155,45 @@ def test_b2_lane_paired_both_ends_gate(tmp_path, rng):
             blobs.append(gzip.decompress(f.read_bytes()))
         outs[b2] = blobs
     assert outs[True] == outs[False]
+
+
+def test_b2_lane_with_length_buckets_identical(tmp_path, rng):
+    """Variable-length input under --buckets auto: full-length clean reads
+    ride the b2 lane while shorter/dirty reads route to length buckets --
+    outputs must match the lane-off run byte-for-byte (scan kernel, so
+    bucketing itself is exact)."""
+    import json
+
+    from ribodetector_tpu.cli import main as cli_main
+    from ribodetector_tpu.config import DEFAULT_CONFIG
+
+    L = 128  # buckets auto -> [64, 128]
+    seqs = []
+    for i in range(500):
+        if i % 3 == 0:
+            seqs.append("".join(rng.choice(list("ACGT"), size=L)))  # b2
+        elif i % 3 == 1:
+            seqs.append("".join(rng.choice(list("ACGT"), size=int(rng.integers(20, 64)))))
+        else:
+            s = "".join(rng.choice(list("ACGT"), size=L))
+            seqs.append(s[: L - 2] + "NN")  # full length but dirty -> b5
+    inp = tmp_path / "in.fq"
+    _write_fastq(inp, seqs)
+
+    outs = {}
+    for b2 in (True, False):
+        cfg = json.loads(open(DEFAULT_CONFIG).read())
+        cfg.setdefault("runtime", {})["b2"] = b2
+        cfg["runtime"]["kernel"] = "scan"
+        cfgp = tmp_path / f"cfg_{b2}.json"
+        cfgp.write_text(json.dumps(cfg))
+        o, r = tmp_path / f"o_{b2}.fq", tmp_path / f"r_{b2}.fq"
+        cli_main([
+            "-c", str(cfgp), "-l", str(L), "-i", str(inp), "-o", str(o),
+            "-r", str(r), "--buckets", "auto", "--chunk_size", "1",
+            "-m", "4", "-t", "1",
+        ])
+        outs[b2] = (o.read_bytes(), r.read_bytes())
+    assert outs[True] == outs[False]
+    total = sum(len(v.splitlines()) for v in outs[True]) // 4
+    assert total == 500
