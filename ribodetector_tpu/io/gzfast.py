@@ -75,6 +75,31 @@ def _libdeflate():
                 ctypes.c_void_p,
                 ctypes.c_size_t,
             ]
+            lib.libdeflate_deflate_compress.restype = ctypes.c_size_t
+            lib.libdeflate_deflate_compress.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+            ]
+            lib.libdeflate_deflate_compress_bound.restype = ctypes.c_size_t
+            lib.libdeflate_deflate_compress_bound.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+            ]
+            lib.libdeflate_alloc_decompressor.restype = ctypes.c_void_p
+            lib.libdeflate_alloc_decompressor.argtypes = []
+            lib.libdeflate_free_decompressor.argtypes = [ctypes.c_void_p]
+            lib.libdeflate_deflate_decompress.restype = ctypes.c_int
+            lib.libdeflate_deflate_decompress.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+                ctypes.c_void_p,
+            ]
             _lib = lib
         except OSError:  # pragma: no cover - libdeflate baked into the image
             _lib = None
@@ -127,9 +152,29 @@ def crc32(data, crc=0):
         return lib.libdeflate_crc32(crc & 0xFFFFFFFF, ptr, nbytes)
 
 
+# bgzf-style member-length hint: an FEXTRA subfield ('R','D', u32 = total
+# member byte length incl. header and trailer). Standard gzip readers skip
+# unknown subfields (RFC 1952 2.3.1.1); OUR reader uses it to decode the
+# whole member with libdeflate's one-shot raw inflater (~2-3x zlib's
+# streaming inflate), the same trick htslib's BGZF plays with its BSIZE
+# field -- except u32, so multi-MB members fit. Header layout:
+#   1f 8b 08 04 | mtime=0 (4) | XFL=0 OS=ff | XLEN=8 | 'R' 'D' 04 00 | u32
+_HINT_HDR_LEN = 10 + 2 + 8
+_HINT_SI = b"RD"
+
+
+def _hinted_header(member_len):
+    return (
+        b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+        + b"\x08\x00RD\x04\x00"
+        + struct.pack("<I", member_len)
+    )
+
+
 def compress_member(payload, level=3):
-    """Compress `payload` into ONE standalone gzip member (header + deflate
-    + crc32/ISIZE trailer) and return it as bytes.
+    """Compress `payload` into ONE standalone gzip member (header with the
+    'RD' member-length hint + raw deflate + crc32/ISIZE trailer) and
+    return it as bytes.
 
     Thread-safe: a compressor is allocated and freed PER CALL (libdeflate
     compressors are stateful and must not be shared; a thread-local cache
@@ -140,7 +185,7 @@ def compress_member(payload, level=3):
     compresses independent members in parallel -- concatenated members are
     a valid gzip file, which is how the writer parallelizes output
     compression across host cores. gzip-module fallback at the clamped
-    level when libdeflate is unavailable.
+    level (no hint) when libdeflate is unavailable.
     """
     lib = _libdeflate()
     n = len(payload)
@@ -152,16 +197,22 @@ def compress_member(payload, level=3):
     if not comp:  # NULL: invalid level -- never pass NULL onward
         raise ValueError(f"libdeflate rejected compression level {level}")
     try:
-        bound = lib.libdeflate_gzip_compress_bound(comp, n)
+        bound = lib.libdeflate_deflate_compress_bound(comp, n)
         obuf = bytearray(bound)
         with _Pin(payload) as in_ptr, _Pin(obuf) as out_ptr:
-            wrote = lib.libdeflate_gzip_compress(comp, in_ptr, n, out_ptr, bound)
+            wrote = lib.libdeflate_deflate_compress(comp, in_ptr, n, out_ptr, bound)
+            crc = lib.libdeflate_crc32(0, in_ptr, n)
     finally:
         lib.libdeflate_free_compressor(ctypes.c_void_p(comp))
     if wrote == 0:  # pragma: no cover - bound guarantees success
-        raise OSError("libdeflate_gzip_compress failed")
+        raise OSError("libdeflate_deflate_compress failed")
     del obuf[wrote:]
-    return bytes(obuf)
+    member_len = _HINT_HDR_LEN + wrote + 8
+    return (
+        _hinted_header(member_len)
+        + bytes(obuf)
+        + struct.pack("<II", crc & 0xFFFFFFFF, n & 0xFFFFFFFF)
+    )
 
 
 class BadGzipFile(OSError):
@@ -186,7 +237,33 @@ class RawInflater:
         self._dec = zlib.decompressobj(-zlib.MAX_WBITS)
         self._crc = 0
         self._isize = 0
+        # 'RD'-hinted fast path: bytes of the current member remaining past
+        # its header (body+trailer), or None when unknown / already being
+        # streamed; _mbuf stashes a spanning member's bytes until complete;
+        # _dctx is a reusable libdeflate decompressor
+        self._body_rest = None
+        self._mbuf = bytearray()
+        self._dctx = None
         self.members = 0
+        self.fast_members = 0  # decoded via the one-shot libdeflate path
+
+    def _member_done(self):
+        """Advance past a fast-decoded member: trailer already verified."""
+        self.members += 1
+        self.fast_members += 1
+        self._state = "header"
+        self._dec = zlib.decompressobj(-zlib.MAX_WBITS)
+        self._crc = 0
+        self._isize = 0
+
+    def __del__(self):  # pragma: no cover - GC timing
+        lib = _lib  # module global; may be gone at interpreter shutdown
+        if self._dctx and lib is not None:
+            try:
+                lib.libdeflate_free_decompressor(ctypes.c_void_p(self._dctx))
+            except Exception:
+                pass
+            self._dctx = None
 
     @property
     def mid_stream(self):
@@ -194,37 +271,51 @@ class RawInflater:
         return self._state != "header" or bool(self._hbuf)
 
     def _scan_header(self, buf):
-        """Header length within bytes `buf`, or -1 if incomplete."""
+        """(header_len, member_len_hint) within bytes `buf`;
+        (-1, None) if incomplete. member_len_hint is the 'RD' FEXTRA
+        subfield's total member byte count (compress_member emits it), or
+        None for foreign members."""
         if len(buf) < 10:
-            return -1
+            return -1, None
         if buf[:2] != _HDR:
             raise BadGzipFile("Not a gzipped file")
         if buf[2] != 8:
             raise BadGzipFile(f"Unknown compression method {buf[2]}")
         flg = buf[3]
         i = 10
+        hint = None
         if flg & _FEXTRA:
             if len(buf) < i + 2:
-                return -1
+                return -1, None
             xlen = int.from_bytes(buf[i : i + 2], "little")
-            i += 2 + xlen
-            if len(buf) < i:
-                return -1
+            i += 2
+            end = i + xlen
+            if len(buf) < end:
+                return -1, None
+            # walk the subfields for our member-length hint; unknown
+            # subfields are skipped per RFC 1952 2.3.1.1
+            j = i
+            while j + 4 <= end:
+                slen = int.from_bytes(buf[j + 2 : j + 4], "little")
+                if buf[j : j + 2] == _HINT_SI and slen == 4 and j + 8 <= end:
+                    hint = int.from_bytes(buf[j + 4 : j + 8], "little")
+                j += 4 + slen
+            i = end
         if flg & _FNAME:
             j = buf.find(b"\0", i)
             if j < 0:
-                return -1
+                return -1, None
             i = j + 1
         if flg & _FCOMMENT:
             j = buf.find(b"\0", i)
             if j < 0:
-                return -1
+                return -1, None
             i = j + 1
         if flg & _FHCRC:
             if len(buf) < i + 2:
-                return -1
+                return -1, None
             i += 2
-        return i
+        return i, hint
 
     _HDR_PREFIX = 4096  # headers are tiny; a giant FNAME takes the stash path
 
@@ -237,23 +328,70 @@ class RawInflater:
         121 MB/s vs 707 MB/s for 2 MB members)."""
         if not self._hbuf:
             prefix = bytes(mv[: self._HDR_PREFIX])
-            i = self._scan_header(prefix)
+            i, hint = self._scan_header(prefix)
             if i >= 0:
                 self._state = "body"
+                self._set_hint(i, hint)
                 return i
             if len(mv) <= len(prefix):
                 self._hbuf = prefix
                 return len(mv)
             # header longer than the prefix bound: fall through to stash
         buf = self._hbuf + bytes(mv)
-        i = self._scan_header(buf)
+        i, hint = self._scan_header(buf)
         if i < 0:
             self._hbuf = buf
             return len(mv)
         consumed = i - len(self._hbuf)
         self._hbuf = b""
         self._state = "body"
+        self._set_hint(i, hint)
         return consumed
+
+    _HINT_MAX = 256 << 20  # ignore absurd hints: the stash must stay bounded
+
+    def _set_hint(self, header_len, hint):
+        """Remaining body+trailer bytes of the member, if the header
+        carried a credible 'RD' hint (must cover at least the trailer and
+        stay within the stash bound -- a corrupt u32 must not make the
+        decoder buffer gigabytes)."""
+        if hint is not None and header_len + 8 < hint <= self._HINT_MAX:
+            self._body_rest = hint - header_len
+        else:
+            self._body_rest = None
+
+    def _fast_member(self, mv, budget):
+        """Try the one-shot libdeflate decode of a whole hinted member
+        sitting in `mv`. Returns the decompressed bytes, or None to fall
+        back to streaming (insufficient budget, no libdeflate, or any
+        decode disagreement -- the zlib path then re-decodes from the same
+        position and raises proper errors if the data is truly bad)."""
+        lib = _libdeflate()
+        rest = self._body_rest
+        if lib is None or budget <= 0:
+            return None
+        isize, = struct.unpack_from("<I", mv, rest - 4)
+        want_crc, = struct.unpack_from("<I", mv, rest - 8)
+        if isize > budget:
+            return None
+        if self._dctx is None:
+            self._dctx = lib.libdeflate_alloc_decompressor()
+            if not self._dctx:  # pragma: no cover - OOM
+                return None
+        out = bytearray(isize)
+        actual = ctypes.c_size_t(0)
+        comp = mv[: rest - 8]
+        with _Pin(comp) as in_ptr, _Pin(out) as out_ptr:
+            rc = lib.libdeflate_deflate_decompress(
+                ctypes.c_void_p(self._dctx), in_ptr, rest - 8,
+                out_ptr, isize, ctypes.byref(actual),
+            )
+        comp.release()
+        if rc != 0 or actual.value != isize:
+            return None
+        if self._verify and crc32(out) != want_crc:
+            return None
+        return bytes(out)
 
     def decompress(self, data, max_length):
         out_parts = []
@@ -263,6 +401,53 @@ class RawInflater:
             if self._state == "header":
                 mv = mv[self._parse_header_mv(mv) :]
             elif self._state == "body":
+                if self._body_rest is not None:
+                    rest = self._body_rest
+                    if not self._mbuf and len(mv) >= rest:
+                        # whole hinted member in hand: one-shot libdeflate
+                        # decode (~2-3x zlib streaming; trailer CRC/ISIZE
+                        # checked inside). Any disagreement falls back to
+                        # the streaming path below, which re-decodes from
+                        # the same position and raises the proper error if
+                        # the member is really bad.
+                        out = self._fast_member(mv, budget)
+                        self._body_rest = None
+                        if out is not None:
+                            if out:
+                                out_parts.append(out)
+                                budget -= len(out)
+                            mv = mv[rest:]
+                            self._member_done()
+                            continue
+                    else:
+                        # member spans input blocks: stash its bytes until
+                        # complete (bgzf-style), then decode in one shot --
+                        # without the stash only alignment-lucky members
+                        # would ever hit the fast path (measured 1/50)
+                        need = rest - len(self._mbuf)
+                        take = mv[:need] if len(mv) > need else mv
+                        self._mbuf += take
+                        mv = mv[len(take) :]
+                        if len(self._mbuf) < rest:
+                            continue  # outer loop exits when mv is empty
+                        with memoryview(self._mbuf) as smv:
+                            out = self._fast_member(smv, budget)
+                        self._body_rest = None
+                        if out is not None:
+                            self._mbuf = bytearray()
+                            if out:
+                                out_parts.append(out)
+                                budget -= len(out)
+                            self._member_done()
+                            continue
+                        # declined (budget cap / decode disagreement):
+                        # re-inject the stashed bytes ahead of mv and let
+                        # the streaming path consume them
+                        stash = self._mbuf
+                        self._mbuf = bytearray()
+                        stash += bytes(mv)
+                        mv = memoryview(bytes(stash))
+                        continue
                 # feed the decompressor a CAPPED slice: at a member end
                 # zlib copies every unconsumed input byte into unused_data,
                 # so feeding the whole remaining block makes small-member
@@ -317,9 +502,17 @@ class RawInflater:
         return b"".join(out_parts), bytes(mv) if len(mv) else b""
 
     def flush(self):
+        out = b""
+        if self._mbuf:
+            # a stashed partial member at stream end: run it through zlib
+            # so truncated-final-member tolerance matches the streaming
+            # path (the engine still hard-errors via mid_stream)
+            stash = bytes(self._mbuf)
+            self._mbuf = bytearray()
+            out = self._dec.decompress(stash)
         if self._state == "body":
-            return self._dec.flush()
-        return b""
+            return out + self._dec.flush()
+        return out
 
 
 class MemberGzipWriter:
@@ -364,17 +557,30 @@ class MemberGzipWriter:
                 _gzip.compress(bytes(payload), min(max(self.level, 1), 9), mtime=0)
             )
             return n
-        bound = self._lib.libdeflate_gzip_compress_bound(self._comp, n)
-        if len(self._obuf) < bound:
-            self._obuf = bytearray(bound)
+        # hinted member (same layout as compress_member): raw deflate at
+        # offset _HINT_HDR_LEN of the reused buffer, header + trailer
+        # filled in around it, so re-reading our own outputs takes the
+        # one-shot libdeflate decode path
+        bound = self._lib.libdeflate_deflate_compress_bound(self._comp, n)
+        need = _HINT_HDR_LEN + bound + 8
+        if len(self._obuf) < need:
+            self._obuf = bytearray(need)
         with _Pin(payload) as in_ptr, _Pin(self._obuf) as out_ptr:
-            wrote = self._lib.libdeflate_gzip_compress(
-                self._comp, in_ptr, n, out_ptr, len(self._obuf)
+            wrote = self._lib.libdeflate_deflate_compress(
+                self._comp, in_ptr, n,
+                ctypes.c_void_p(out_ptr.value + _HINT_HDR_LEN), bound,
             )
+            crc = self._lib.libdeflate_crc32(0, in_ptr, n)
         if wrote == 0:  # pragma: no cover - bound guarantees success
-            raise OSError("libdeflate_gzip_compress failed")
+            raise OSError("libdeflate_deflate_compress failed")
+        total = _HINT_HDR_LEN + wrote + 8
+        self._obuf[:_HINT_HDR_LEN] = _hinted_header(total)
+        struct.pack_into(
+            "<II", self._obuf, _HINT_HDR_LEN + wrote,
+            crc & 0xFFFFFFFF, n & 0xFFFFFFFF,
+        )
         with memoryview(self._obuf) as mv:
-            self._fh.write(mv[:wrote])
+            self._fh.write(mv[:total])
         return n
 
     def set_level(self, level):

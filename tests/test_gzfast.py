@@ -411,3 +411,90 @@ def test_writer_adaptive_level_drop(tmp_path, rng, monkeypatch):
     w2 = _Writer(compress_threads=0, gz_level=5)
     assert not w2._adapt
     w2.close()
+
+
+def test_hinted_members_fast_path_and_compat(rng):
+    """compress_member/MemberGzipWriter emit 'RD' member-length hints: our
+    reader one-shot-decodes whole members (fast_members counts), Python's
+    gzip module still reads them (FEXTRA skipped per RFC 1952), and
+    hint-less foreign members interleave fine."""
+    from ribodetector_tpu.io.gzfast import compress_member
+
+    a = rng.integers(65, 91, 300000).astype(np.uint8).tobytes()
+    b = rng.integers(65, 91, 123457).astype(np.uint8).tobytes()
+    c = rng.integers(65, 91, 5000).astype(np.uint8).tobytes()
+    blob = compress_member(a) + gzip.compress(b) + compress_member(c)
+    # foreign readers accept hinted members
+    assert gzip.decompress(blob) == a + b + c
+    # whole-buffer feed: both hinted members take the fast path
+    inf = RawInflater()
+    out, left = inf.decompress(blob, 1 << 30)
+    assert out + inf.flush() == a + b + c and not left
+    assert inf.members == 3 and inf.fast_members == 2
+    # streaming writer members are hinted too
+    buf = io.BytesIO()
+    w = MemberGzipWriter(buf)
+    w.write(a)
+    w.write(c)
+    w.flush()
+    stream = buf.getvalue()  # before close(): close() closes the sink too
+    w.close()
+    inf = RawInflater()
+    out, left = inf.decompress(stream, 1 << 30)
+    assert out == a + c and inf.fast_members == 2
+
+
+def test_hinted_member_split_across_feeds_stashes(rng):
+    """A hinted member that spans input blocks is STASHED until complete
+    and still decodes via the one-shot path (bgzf-style buffering; without
+    it only alignment-lucky members would ever go fast). Multi-member
+    streams with tiny feeds stay correct too."""
+    from ribodetector_tpu.io.gzfast import compress_member
+
+    a = rng.integers(65, 91, 200000).astype(np.uint8).tobytes()
+    b = rng.integers(65, 91, 70001).astype(np.uint8).tobytes()
+    blob = compress_member(a) + compress_member(b)
+    inf = RawInflater()
+    assert drain(inf, blob, block=1000) == a + b
+    assert inf.members == 2 and inf.fast_members == 2
+
+
+def test_hinted_member_bad_hint_falls_back(rng):
+    """A lying 'RD' length hint must not corrupt decoding: the fast path
+    disagrees and the streaming path decodes the member correctly."""
+    from ribodetector_tpu.io.gzfast import _HINT_HDR_LEN, compress_member
+
+    a = rng.integers(65, 91, 100000).astype(np.uint8).tobytes()
+    blob = bytearray(compress_member(a))
+    # overwrite the u32 hint (at offset 16) with nonsense that still
+    # points inside the buffer
+    struct.pack_into("<I", blob, 16, _HINT_HDR_LEN + 50)
+    inf = RawInflater()
+    out, left = inf.decompress(bytes(blob), 1 << 30)
+    assert out + inf.flush() == a
+    assert inf.fast_members == 0
+
+
+def test_hinted_member_corrupt_crc_still_raises(rng):
+    """Corrupting a hinted member's payload must still raise the CRC
+    error (the fast path declines, the streaming re-decode verifies)."""
+    from ribodetector_tpu.io.gzfast import compress_member
+
+    a = rng.integers(65, 91, 100000).astype(np.uint8).tobytes()
+    blob = bytearray(compress_member(a))
+    blob[len(blob) // 2] ^= 0xFF
+    inf = RawInflater()
+    with pytest.raises(BadGzipFile):
+        inf.decompress(bytes(blob), 1 << 30)
+
+
+def test_hinted_member_budget_cap_streams(rng):
+    """max_length smaller than the member's ISIZE: the fast path declines
+    and the capped streaming contract holds unchanged."""
+    from ribodetector_tpu.io.gzfast import compress_member
+
+    a = rng.integers(65, 91, 300000).astype(np.uint8).tobytes()
+    blob = compress_member(a)
+    inf = RawInflater()
+    assert drain(inf, blob, block=1 << 30, max_length=10000) == a
+    assert inf.fast_members == 0
