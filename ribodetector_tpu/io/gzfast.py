@@ -163,7 +163,17 @@ _HINT_HDR_LEN = 10 + 2 + 8
 _HINT_SI = b"RD"
 
 
-def _hinted_header(member_len):
+_PLAIN_HDR = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+
+
+def _member_header(member_len):
+    """Hinted header, or the plain 10-byte header when the member's total
+    length does not fit the u32 hint (a >=4 GiB member: valid gzip either
+    way -- ISIZE wraps per RFC 1952 -- it just streams instead of fast-
+    decoding). member_len must be computed WITH the hinted header size;
+    the plain fallback only shrinks it."""
+    if member_len >= 1 << 32:
+        return _PLAIN_HDR
     return (
         b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
         + b"\x08\x00RD\x04\x00"
@@ -209,7 +219,7 @@ def compress_member(payload, level=3):
     del obuf[wrote:]
     member_len = _HINT_HDR_LEN + wrote + 8
     return (
-        _hinted_header(member_len)
+        _member_header(member_len)
         + bytes(obuf)
         + struct.pack("<II", crc & 0xFFFFFFFF, n & 0xFFFFFFFF)
     )
@@ -247,14 +257,19 @@ class RawInflater:
         self.members = 0
         self.fast_members = 0  # decoded via the one-shot libdeflate path
 
-    def _member_done(self):
-        """Advance past a fast-decoded member: trailer already verified."""
+    def _reset_member_state(self):
+        """Member boundary: count it and arm a fresh decode state (shared
+        by the fast path and the streaming trailer branch)."""
         self.members += 1
-        self.fast_members += 1
         self._state = "header"
         self._dec = zlib.decompressobj(-zlib.MAX_WBITS)
         self._crc = 0
         self._isize = 0
+
+    def _member_done(self):
+        """Advance past a fast-decoded member: trailer already verified."""
+        self._reset_member_state()
+        self.fast_members += 1
 
     def __del__(self):  # pragma: no cover - GC timing
         lib = _lib  # module global; may be gone at interpreter shutdown
@@ -354,25 +369,39 @@ class RawInflater:
         """Remaining body+trailer bytes of the member, if the header
         carried a credible 'RD' hint (must cover at least the trailer and
         stay within the stash bound -- a corrupt u32 must not make the
-        decoder buffer gigabytes)."""
-        if hint is not None and header_len + 8 < hint <= self._HINT_MAX:
+        decoder buffer gigabytes). Without libdeflate the hint is useless,
+        and arming it would only buy the pure-zlib fallback extra copies."""
+        if (
+            hint is not None
+            and header_len + 8 < hint <= self._HINT_MAX
+            and _libdeflate() is not None
+        ):
             self._body_rest = hint - header_len
         else:
             self._body_rest = None
 
-    def _fast_member(self, mv, budget):
-        """Try the one-shot libdeflate decode of a whole hinted member
-        sitting in `mv`. Returns the decompressed bytes, or None to fall
-        back to streaming (insufficient budget, no libdeflate, or any
-        decode disagreement -- the zlib path then re-decodes from the same
-        position and raises proper errors if the data is truly bad)."""
+    def _member_trailer_ints(self, mv):
+        """(want_crc, isize) of the in-hand member whose body+trailer span
+        self._mbuf then mv (combined length >= self._body_rest)."""
+        tr = self._body_rest - 8
+        sl = len(self._mbuf)
+        if tr >= sl:
+            trailer = bytes(mv[tr - sl : tr - sl + 8])
+        else:
+            trailer = (bytes(self._mbuf[tr:]) + bytes(mv))[:8]
+        return struct.unpack("<II", trailer)
+
+    def _fast_member(self, mv, isize, want_crc):
+        """One-shot libdeflate decode of a whole hinted member sitting in
+        `mv` (body+trailer = self._body_rest bytes). Returns the
+        decompressed bytes, or None on any decode disagreement -- the
+        zlib path then re-decodes from the same position and raises the
+        proper errors if the data is truly bad. (Note: pinning a readonly
+        input slice copies it -- ~0.1 ms per MB, noise next to the decode
+        itself.)"""
         lib = _libdeflate()
         rest = self._body_rest
-        if lib is None or budget <= 0:
-            return None
-        isize, = struct.unpack_from("<I", mv, rest - 4)
-        want_crc, = struct.unpack_from("<I", mv, rest - 8)
-        if isize > budget:
+        if lib is None:  # pragma: no cover - _set_hint gates on the lib
             return None
         if self._dctx is None:
             self._dctx = lib.libdeflate_alloc_decompressor()
@@ -403,51 +432,64 @@ class RawInflater:
             elif self._state == "body":
                 if self._body_rest is not None:
                     rest = self._body_rest
-                    if not self._mbuf and len(mv) >= rest:
-                        # whole hinted member in hand: one-shot libdeflate
-                        # decode (~2-3x zlib streaming; trailer CRC/ISIZE
-                        # checked inside). Any disagreement falls back to
-                        # the streaming path below, which re-decodes from
-                        # the same position and raises the proper error if
-                        # the member is really bad.
-                        out = self._fast_member(mv, budget)
-                        self._body_rest = None
-                        if out is not None:
-                            if out:
-                                out_parts.append(out)
-                                budget -= len(out)
-                            mv = mv[rest:]
-                            self._member_done()
-                            continue
-                    else:
+                    if len(self._mbuf) + len(mv) < rest:
                         # member spans input blocks: stash its bytes until
-                        # complete (bgzf-style), then decode in one shot --
-                        # without the stash only alignment-lucky members
-                        # would ever hit the fast path (measured 1/50)
-                        need = rest - len(self._mbuf)
-                        take = mv[:need] if len(mv) > need else mv
-                        self._mbuf += take
-                        mv = mv[len(take) :]
-                        if len(self._mbuf) < rest:
-                            continue  # outer loop exits when mv is empty
-                        with memoryview(self._mbuf) as smv:
-                            out = self._fast_member(smv, budget)
+                        # complete (bgzf-style buffering) -- without the
+                        # stash only alignment-lucky members would ever
+                        # hit the fast path (measured 1/50)
+                        self._mbuf += mv
+                        mv = mv[len(mv) :]
+                        continue
+                    # whole member in hand (stash + mv): decide by its
+                    # trailer's ISIZE before assembling anything
+                    want_crc, isize = self._member_trailer_ints(mv)
+                    if isize > max_length:
+                        # can never fit one call's contract: stream it
+                        # (re-inject any stash ahead of mv first)
                         self._body_rest = None
-                        if out is not None:
+                        if self._mbuf:
+                            stash = self._mbuf
                             self._mbuf = bytearray()
-                            if out:
-                                out_parts.append(out)
-                                budget -= len(out)
-                            self._member_done()
-                            continue
-                        # declined (budget cap / decode disagreement):
-                        # re-inject the stashed bytes ahead of mv and let
-                        # the streaming path consume them
+                            mv = memoryview(bytes(stash) + bytes(mv))
+                        continue
+                    if isize > budget:
+                        # budget partially consumed this call: hand every
+                        # unread byte back and keep the hint armed -- the
+                        # caller's next call has a fresh budget that fits
+                        # (isize <= max_length), so the member still fast-
+                        # decodes instead of silently dropping to zlib
+                        left = bytes(self._mbuf) + bytes(mv)
+                        self._mbuf = bytearray()
+                        return b"".join(out_parts), left
+                    if self._mbuf:
+                        need = rest - len(self._mbuf)
+                        self._mbuf += mv[:need]
+                        mv = mv[need:]
+                        with memoryview(self._mbuf) as smv:
+                            out = self._fast_member(smv, isize, want_crc)
+                        consumed_stash = True
+                    else:
+                        out = self._fast_member(mv, isize, want_crc)
+                        consumed_stash = False
+                    self._body_rest = None
+                    if out is not None:
+                        if consumed_stash:
+                            self._mbuf = bytearray()
+                        else:
+                            mv = mv[rest:]
+                        if out:
+                            out_parts.append(out)
+                            budget -= len(out)
+                        self._member_done()
+                        continue
+                    # decode disagreement: re-decode from the same
+                    # position via zlib, which raises the proper error
+                    # if the member is really bad
+                    if consumed_stash:
                         stash = self._mbuf
                         self._mbuf = bytearray()
-                        stash += bytes(mv)
-                        mv = memoryview(bytes(stash))
-                        continue
+                        mv = memoryview(bytes(stash) + bytes(mv))
+                    continue
                 # feed the decompressor a CAPPED slice: at a member end
                 # zlib copies every unconsumed input byte into unused_data,
                 # so feeding the whole remaining block makes small-member
@@ -494,25 +536,33 @@ class RawInflater:
                             )
                         if isize != self._isize & 0xFFFFFFFF:
                             raise BadGzipFile("Incorrect length of data produced")
-                    self.members += 1
-                    self._state = "header"
-                    self._dec = zlib.decompressobj(-zlib.MAX_WBITS)
-                    self._crc = 0
-                    self._isize = 0
+                    self._reset_member_state()
         return b"".join(out_parts), bytes(mv) if len(mv) else b""
 
     def flush(self):
-        out = b""
-        if self._mbuf:
-            # a stashed partial member at stream end: run it through zlib
-            # so truncated-final-member tolerance matches the streaming
-            # path (the engine still hard-errors via mid_stream)
+        out_parts = []
+        # an armed hint at stream end must not hide data: an OVERSHOOTING
+        # 'RD' hint (corrupt u32, or a foreign producer using the same
+        # subfield id with other semantics) would leave intact members
+        # sitting in the stash forever. Re-run the full member state
+        # machine over the stash with the hint disarmed -- complete
+        # members (and their CRC checks) come out exactly as streaming
+        # would have produced them; only a genuinely truncated tail
+        # remains, with zlib's usual truncated-final-member tolerance.
+        while self._mbuf:
             stash = bytes(self._mbuf)
             self._mbuf = bytearray()
-            out = self._dec.decompress(stash)
+            self._body_rest = None
+            o, left = self.decompress(stash, 1 << 62)
+            if o:
+                out_parts.append(o)
+            if left:  # pragma: no cover - the budget is effectively infinite
+                self._mbuf += left
+            if len(self._mbuf) >= len(stash):  # pragma: no cover
+                break  # no progress: corrupt framing, stop re-running
         if self._state == "body":
-            return out + self._dec.flush()
-        return out
+            out_parts.append(self._dec.flush())
+        return b"".join(out_parts)
 
 
 class MemberGzipWriter:
@@ -574,13 +624,19 @@ class MemberGzipWriter:
         if wrote == 0:  # pragma: no cover - bound guarantees success
             raise OSError("libdeflate_deflate_compress failed")
         total = _HINT_HDR_LEN + wrote + 8
-        self._obuf[:_HINT_HDR_LEN] = _hinted_header(total)
+        header = _member_header(total)
         struct.pack_into(
             "<II", self._obuf, _HINT_HDR_LEN + wrote,
             crc & 0xFFFFFFFF, n & 0xFFFFFFFF,
         )
-        with memoryview(self._obuf) as mv:
-            self._fh.write(mv[:total])
+        if len(header) == _HINT_HDR_LEN:
+            self._obuf[:_HINT_HDR_LEN] = header
+            with memoryview(self._obuf) as mv:
+                self._fh.write(mv[:total])
+        else:  # pragma: no cover - >=4 GiB member: plain header fallback
+            self._fh.write(header)
+            with memoryview(self._obuf) as mv:
+                self._fh.write(mv[_HINT_HDR_LEN:total])
         return n
 
     def set_level(self, level):

@@ -498,3 +498,49 @@ def test_hinted_member_budget_cap_streams(rng):
     inf = RawInflater()
     assert drain(inf, blob, block=1 << 30, max_length=10000) == a
     assert inf.fast_members == 0
+
+
+def test_overshooting_hint_past_eof_recovers_trailing_members(rng):
+    """A hint lying PAST the end of the stream (corrupt u32, or a foreign
+    'RD' subfield with different semantics) must not swallow intact
+    members: flush() re-runs the member machine over the stash and
+    mid_stream clears, so fully-decodable files decode fully."""
+    from ribodetector_tpu.io.gzfast import compress_member
+
+    a = rng.integers(65, 91, 120000).astype(np.uint8).tobytes()
+    b = rng.integers(65, 91, 90001).astype(np.uint8).tobytes()
+    blob = bytearray(compress_member(a) + compress_member(b))
+    # member 1's hint (offset 16) claims far more than the file holds
+    struct.pack_into("<I", blob, 16, (200 << 20))
+    inf = RawInflater()
+    out, left = inf.decompress(bytes(blob), 1 << 30)
+    out += inf.flush()
+    assert out == a + b and not left
+    assert not inf.mid_stream  # nothing genuinely truncated
+    assert inf.members == 2
+
+    # same corruption but the file IS truncated: mid_stream must stay set
+    inf = RawInflater()
+    out, _ = inf.decompress(bytes(blob[: len(blob) // 2]), 1 << 30)
+    inf.flush()
+    assert inf.mid_stream
+
+
+def test_hinted_member_budget_boundary_keeps_fast_path(rng):
+    """A member whose ISIZE exceeds the REMAINING budget mid-call (but fits
+    max_length) is handed back as leftover with the hint still armed, so
+    the caller's next call fast-decodes it instead of dropping to zlib."""
+    from ribodetector_tpu.io.gzfast import compress_member
+
+    a = rng.integers(65, 91, 100000).astype(np.uint8).tobytes()
+    b = rng.integers(65, 91, 250000).astype(np.uint8).tobytes()
+    blob = compress_member(a) + compress_member(b)
+    inf = RawInflater()
+    out = []
+    carry = blob
+    while carry:
+        o, carry = inf.decompress(carry, 260000)
+        out.append(o)
+    out.append(inf.flush())
+    assert b"".join(out) == a + b
+    assert inf.fast_members == 2  # the second member kept its fast path
