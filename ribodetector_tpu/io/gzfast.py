@@ -580,6 +580,7 @@ class MemberGzipWriter:
 
     def __init__(self, fh, level=None):
         self._fh = fh
+        self._wrote_any = False
         self.level = self.LEVEL if level is None else int(level)
         lib = _libdeflate()
         self._comp = (
@@ -600,6 +601,7 @@ class MemberGzipWriter:
         n = len(payload)
         if n == 0:
             return 0
+        self._wrote_any = True
         if self._comp is None:  # pragma: no cover - libdeflate baked in
             import gzip as _gzip
 
@@ -660,6 +662,8 @@ class MemberGzipWriter:
 
     def write_raw(self, data):
         """Append an already-compressed gzip member (from compress_member)."""
+        if data:
+            self._wrote_any = True
         self._fh.write(data)
 
     def flush(self):
@@ -673,6 +677,14 @@ class MemberGzipWriter:
 
     def close(self):
         try:
+            if not self._wrote_any and not getattr(self._fh, "closed", False):
+                # a .gz file with zero members is not a valid gzip stream
+                # (gzip -d: "unexpected end of file"); the reference's
+                # gzip.open path emits a valid empty member on close, so
+                # match it -- a class with no reads still yields a
+                # readable (empty) output
+                self._wrote_any = True
+                self._fh.write(compress_member(b"", level=self.level))
             self._fh.close()
         finally:
             if self._comp is not None:

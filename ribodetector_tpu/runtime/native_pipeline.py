@@ -115,6 +115,8 @@ class FastqChunkStream:
         # them into the parse window (~2% of the work).
         self._blockq = queue.Queue(maxsize=8) if self._gz else None
         self._decomp_started = False
+        self._decomp_thread = None
+        self._closing = False
         self.win_bytes = window_bytes or min(
             max(records_per_chunk * 280, 8 << 20), 256 << 20
         )
@@ -172,8 +174,22 @@ class FastqChunkStream:
         q = self._blockq
         inf = RawInflater()
         timer = self.timer
+
+        def put(item):
+            # bounded put that aborts when the stream is being closed
+            # (failed-job cleanup): a plain q.put could block forever if
+            # the consumer is gone and the drain raced past an Empty,
+            # leaking this thread and its buffered blocks
+            while not self._closing:
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
-            while True:
+            while not self._closing:
                 raw = self._fh.read(_BLOCK)
                 if not raw:
                     self._fh.close()
@@ -187,23 +203,24 @@ class FastqChunkStream:
                             "end-of-stream marker was reached"
                         )
                     if out:  # pragma: no cover - empty when not mid_stream
-                        q.put(out)
-                    q.put(None)
+                        put(out)
+                    put(None)
                     return
                 while raw:
                     with timer.stage("inflate"):
                         out, raw = inf.decompress(raw, _BLOCK)
-                    if out:
-                        q.put(out)
+                    if out and not put(out):
+                        return
         except BaseException as e:  # propagated to the consumer
-            q.put(e)
+            put(e)
 
     def _fill_gz(self, mv, pos, target):
         if not self._decomp_started:
             self._decomp_started = True
-            threading.Thread(
+            self._decomp_thread = threading.Thread(
                 target=self._decomp_loop, daemon=True, name="rd-inflate"
-            ).start()
+            )
+            self._decomp_thread.start()
         while pos < target and (self._carry or not self._eof):
             if self._carry:
                 blk, self._carry = self._carry, b""
@@ -343,14 +360,25 @@ class FastqChunkStream:
 
     def close(self):
         """Release the input fd and unblock the decomp thread (idempotent;
-        failed-job cleanup for the long-lived serve mode)."""
+        failed-job cleanup for the long-lived serve mode). The drain loops
+        until the inflate thread actually exits -- a fixed-count drain
+        could race its refill and leave it blocked on a full queue
+        forever, leaking the thread and its buffered blocks."""
+        self._closing = True
         try:
             self._fh.close()
         except Exception:
             pass
-        q = self._blockq
+        q, t = self._blockq, self._decomp_thread
         if q is not None:
-            for _ in range(32):
+            deadline = 50  # ~5 s bound; the thread checks _closing every 0.2 s
+            while t is not None and t.is_alive() and deadline:
+                try:
+                    q.get(timeout=0.1)
+                except queue.Empty:
+                    pass
+                deadline -= 1
+            while True:  # leftover blocks after the thread exited
                 try:
                     q.get_nowait()
                 except queue.Empty:
@@ -1276,56 +1304,60 @@ class NativeRunner:
         paired = p.is_paired
         p._resume_buckets = list(buckets)  # part of the manifest config key
         distributed = getattr(p, "distributed", False)
-        resume = (
-            ResumeState.maybe(p)
-            if getattr(p.args, "resume", False) and not distributed
-            else None
-        )
-        self._resume = resume
         counts = {"norrna": 0, "rrna": 0, "unclf": 0}
         num_read = 0
         rpc = self._records_per_chunk()
-        streams = [
-            make_chunk_stream(
-                f, p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH,
-                timer=p.timer,
-            )
-            for f in p.input
-        ]
-        parts = DistributedParts(p) if distributed else None
-        self._parts = parts
-        self._parts_mode = parts is not None
-        if resume:
-            num_read, counts = resume.restore(p)
-            fhs = None
-        elif parts and getattr(p.args, "resume", False):
-            # coordinated group relaunch: seed from this host's completion
-            # manifest; completed own chunks are skipped parse-only below
-            num_read, counts = parts.restore(p)
-            fhs = None
-        else:
-            fhs = None if parts else p._open_outputs(binary=True)
-        if self._pbar is not None and num_read:
-            # the live bar resumes from the restored record count so its
-            # total agrees with the final summary
-            self._pbar.n = num_read
-            self._pbar.refresh()
-        self._counts = counts
-        self._writer = _Writer(
-            compress_threads=self._compress_threads(),
-            gz_level=getattr(p, "gz_level", None),
-            timer=p.timer,
-            on_level_drop=lambda lvl: p.logger.info(
-                "write stage is the bottleneck: dropping gz output "
-                "compression to libdeflate level %d for the rest of the "
-                "run (~4%% larger files, measured +19%% throughput; pass "
-                "--gz-level to pin a level instead)",
-                lvl,
-            ),
-        )
+        # everything that opens fds/threads happens INSIDE the try: a
+        # failure in manifest restore or output opening must still release
+        # the input streams (serve mode keeps the process alive across
+        # failed jobs, so pre-try leaks would accumulate per failure)
         ok = False
-        curs = []
+        resume = parts = fhs = None
+        streams, curs = [], []
         try:
+            streams = [
+                make_chunk_stream(
+                    f, p.len, rpc, depth=self.DEPTH, prefetch=self.PREFETCH,
+                    timer=p.timer,
+                )
+                for f in p.input
+            ]
+            resume = (
+                ResumeState(p)
+                if getattr(p.args, "resume", False) and not distributed
+                else None
+            )
+            self._resume = resume
+            parts = DistributedParts(p) if distributed else None
+            self._parts = parts
+            self._parts_mode = parts is not None
+            if resume:
+                num_read, counts = resume.restore(p)
+            elif parts and getattr(p.args, "resume", False):
+                # coordinated group relaunch: seed from this host's
+                # completion manifest; completed own chunks are skipped
+                # parse-only below
+                num_read, counts = parts.restore(p)
+            elif not parts:
+                fhs = p._open_outputs(binary=True)
+            if self._pbar is not None and num_read:
+                # the live bar resumes from the restored record count so
+                # its total agrees with the final summary
+                self._pbar.n = num_read
+                self._pbar.refresh()
+            self._counts = counts
+            self._writer = _Writer(
+                compress_threads=self._compress_threads(),
+                gz_level=getattr(p, "gz_level", None),
+                timer=p.timer,
+                on_level_drop=lambda lvl: p.logger.info(
+                    "write stage is the bottleneck: dropping gz output "
+                    "compression to libdeflate level %d for the rest of the "
+                    "run (~4%% larger files, measured +19%% throughput; pass "
+                    "--gz-level to pin a level instead)",
+                    lvl,
+                ),
+            )
             timer = p.timer
             curs = [
                 _RecordCursor(_Prefetcher(iter(s), depth=self.PREFETCH))
@@ -1496,7 +1528,13 @@ class NativeRunner:
         try:
             if resume is not None:
                 resume.close_handles()  # keep the manifest: still resumable
-            elif parts is None and fhs is not None:
+            elif parts is not None:
+                # in-flight per-chunk part handles (each holding a
+                # libdeflate compressor) would otherwise leak; completed
+                # chunks' handles were already closed by the writer thread
+                # (close is idempotent)
+                parts.close_handles()
+            elif fhs is not None:
                 self.p._close_outputs(fhs)
         except Exception:
             pass
@@ -1620,10 +1658,6 @@ class ResumeState:
     """
 
     MANIFEST_SUFFIX = ".progress.json"
-
-    @staticmethod
-    def maybe(p):
-        return ResumeState(p)
 
     def __init__(self, p):
         self.manifest_path = p.output[0] + self.MANIFEST_SUFFIX
@@ -1830,6 +1864,7 @@ class DistributedParts:
         self._own_seen = 0
         self._last_ci = -1
         self._part_sizes = {}  # part path -> bytes, for completed chunks
+        self._open_handles = []  # every handle opened, for abort cleanup
         self._wd = None
 
     # -- config identity (same policy as ResumeState._config_key) -------
@@ -1936,14 +1971,26 @@ class DistributedParts:
             handles = []
             for f in files:
                 os.makedirs(f + ".parts", exist_ok=True)
-                handles.append(
-                    open_for_write_bytes(
-                        self._part_path(f, ci),
-                        gz_level=getattr(p, "gz_level", None),
-                    )
+                fh = open_for_write_bytes(
+                    self._part_path(f, ci),
+                    gz_level=getattr(p, "gz_level", None),
                 )
+                self._open_handles.append(fh)
+                handles.append(fh)
             fhs[group] = handles
         return fhs
+
+    def close_handles(self):
+        """Failed-run cleanup: close every part handle this instance ever
+        opened (close is idempotent, so handles the writer thread already
+        closed are harmless). Completed parts and the manifest stay on
+        disk -- the run remains relaunchable with --resume."""
+        for fh in self._open_handles:
+            try:
+                fh.close()
+            except Exception:  # pragma: no cover - disk errors
+                pass
+        self._open_handles = []
 
     def merge(self, p):
         """Concatenate all hosts' part files into the final outputs (chunk
@@ -1968,8 +2015,12 @@ class DistributedParts:
                 elif not os.path.exists(f):
                     # empty run: the output must still exist -- but NEVER
                     # truncate a pre-existing file that has no parts to
-                    # rebuild it from (defense against misconfigured calls)
-                    open(f, "wb").close()
+                    # rebuild it from (defense against misconfigured
+                    # calls). A gz output needs one empty member: a
+                    # zero-byte .gz is not a valid gzip stream.
+                    with open(f, "wb") as out:
+                        if f.endswith("gz"):
+                            out.write(compress_member(b""))
         # every host is past the pre-merge barrier (manifests final): the
         # run succeeded, so completion state must not leak. glob.escape:
         # an output path containing [, ? or * must not be treated as a

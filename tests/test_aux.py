@@ -194,7 +194,13 @@ def test_resume_empty_input_creates_empty_outputs(tmp_path):
     cli_main(["-l", "60", "-i", str(inp), "-o", str(out), "-r", str(rr),
               "-m", "3", "--chunk_size", "1", "--resume"])
     assert out.exists() and out.stat().st_size == 0
-    assert rr.exists() and rr.stat().st_size == 0
+    # the gz output must be a VALID (empty) gzip stream, not 0 bytes --
+    # a memberless .gz makes gzip -d fail (reference parity: gzip.open
+    # writes an empty member on close)
+    import gzip
+
+    assert rr.exists() and rr.stat().st_size > 0
+    assert gzip.decompress(rr.read_bytes()) == b""
     assert not os.path.exists(str(out) + ".progress.json")
 
 

@@ -544,3 +544,21 @@ def test_hinted_member_budget_boundary_keeps_fast_path(rng):
     out.append(inf.flush())
     assert b"".join(out) == a + b
     assert inf.fast_members == 2  # the second member kept its fast path
+
+
+def test_empty_gz_output_is_valid_gzip(tmp_path):
+    """An output class that never receives a read must still be a VALID
+    gzip stream (the reference's gzip.open writes an empty member on
+    close; a 0-byte .gz makes gzip -d fail)."""
+    from ribodetector_tpu.io.writer import open_for_write_bytes
+
+    path = str(tmp_path / "empty.fq.gz")
+    fh = open_for_write_bytes(path)
+    fh.close()
+    import os
+    assert os.path.getsize(path) > 0
+    assert gzip.decompress(open(path, "rb").read()) == b""
+    assert drain(RawInflater(), open(path, "rb").read()) == b""
+    fh2 = open_for_write_bytes(str(tmp_path / "x.fq.gz"))
+    fh2.close()
+    fh2.close()  # idempotent
