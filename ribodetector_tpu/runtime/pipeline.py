@@ -48,6 +48,16 @@ except ImportError:  # pragma: no cover
         return it
 
 
+def resolve_state_path(path):
+    """Weight-file path resolution: relative paths live under the package
+    dir. ONE definition shared by Predictor.get_state_file and serve's
+    alias detection -- if the rules ever change (env expansion, realpath),
+    both must see it or serve could alias two different checkpoints."""
+    if path and not os.path.isabs(path):
+        path = os.path.join(PACKAGE_DIR, path)
+    return os.path.normpath(path) if path else path
+
+
 class Predictor:
     """End-to-end rRNA detection over FASTQ/FASTA files."""
 
@@ -77,10 +87,9 @@ class Predictor:
             # accuracy warning only, never an error (quirk #12, detect.py:54-62)
             self.logger.info("The accuracy will drop with reads shorter than 40.")
         model_file_ext = "recall" if self.args.ensure == "norrna" else "mcc"
-        state_file = self.config["state_file"][model_file_ext]
-        if not os.path.isabs(state_file):
-            state_file = os.path.join(PACKAGE_DIR, state_file)
-        self.state_file = state_file
+        self.state_file = resolve_state_path(
+            self.config["state_file"][model_file_ext]
+        )
         self.logger.info("Using high {} model".format(model_file_ext.upper()))
         self.logger.info("Log file: {}".format(getattr(self.args, "log", None)))
 
@@ -138,6 +147,10 @@ class Predictor:
             # device kind), so proxy platforms can't skip the check.
             kind = (getattr(self.device, "device_kind", "") or "").lower()
             want = len([d for d in str(deviceid).split(",") if d != ""])
+            if want < 1:
+                raise RuntimeError(
+                    f"--deviceid {deviceid!r} names no devices"
+                )
             if self.device.platform in ("tpu", "axon") or "tpu" in kind:
                 # some TPU generations expose multiple cores (jax devices)
                 # per chip id, so require a positive multiple, not equality
@@ -671,9 +684,20 @@ class Predictor:
 
     @staticmethod
     def _close_outputs(fhs):
+        """Close every handle even when one close raises (ENOSPC flushing
+        a gz trailer must not leak the remaining handles -- serve mode
+        keeps the process alive across failed jobs); the first error
+        propagates after all closes were attempted."""
+        first = None
         for group in fhs.values():
             for fh in group:
-                fh.close()
+                try:
+                    fh.close()
+                except BaseException as e:
+                    if first is None:
+                        first = e
+        if first is not None:
+            raise first
 
     @staticmethod
     def _write_bucket(fh, bucket):

@@ -65,11 +65,13 @@ def build_arg_parser():
                     "still come back in request order, and per-job errors "
                     "stay isolated. Each in-flight job runs on a shallow "
                     "Predictor copy sharing the loaded weights and "
-                    "compiled steps.")
+                    "compiled steps. The -m host-RAM budget is divided by "
+                    "the concurrency so N in-flight jobs together respect "
+                    "it.")
     return ap
 
 
-_ENSURES = ("none", "rrna", "norrna", "both")
+from ribodetector_tpu.runtime.ensure import ENSURE_MODES as _ENSURES
 
 
 class Server:
@@ -109,6 +111,9 @@ class Server:
         # pass 0 through so Predictor.detect's >= 1 guard rejects it
         # loudly instead of a falsy-coercion silently meaning whole-file
         chunk_size = None if chunk_size is None else int(chunk_size)
+        # -m is the whole host's budget: N concurrent jobs each size their
+        # batches/chunks from their share, so together they respect it
+        conc = max(1, int(getattr(self.args, "concurrency", 1) or 1))
         return SimpleNamespace(
             len=self.args.len,
             input=list(inputs),
@@ -116,7 +121,7 @@ class Server:
             rrna=list(rrna) if rrna else None,
             ensure=ensure,
             threads=self.args.threads,
-            memory=self.args.memory,
+            memory=max(3, self.args.memory // conc),
             chunk_size=chunk_size,
             log=self.args.log,
             profile=False,
@@ -132,14 +137,9 @@ class Server:
         )
 
     def _resolved_state(self, key):
-        import os
+        from ribodetector_tpu.runtime.pipeline import resolve_state_path
 
-        from ribodetector_tpu.config import PACKAGE_DIR
-
-        f = self.config["state_file"].get(key)
-        if f and not os.path.isabs(f):
-            f = os.path.join(PACKAGE_DIR, f)
-        return os.path.normpath(f) if f else f
+        return resolve_state_path(self.config["state_file"].get(key))
 
     def _predictor_for(self, job_args):
         # quirk #6: -e norrna selects the "recall" weights key
@@ -162,10 +162,8 @@ class Server:
             else:
                 ctor_args = self._job_args({"input": ["x"], "output": ["x"],
                                             "ensure": job_args.ensure})
-                if self._predictors:
-                    # get_logger reopens --log with mode='w': a SECOND
-                    # Predictor mid-serve must not wipe earlier job logs
-                    ctor_args.log = None
+                # (a second Predictor may reuse --log safely: get_logger
+                # attaches at most one FileHandler per logfile path)
                 p = Predictor(self.config, ctor_args)
                 p.load_model()
                 self._predictors[key] = p
@@ -210,7 +208,18 @@ class Server:
                     raise
                 resp = {"status": "error", "error": f"{type(e).__name__}: {e}"}
             resp["id"] = rid
-            out.write(json.dumps(resp) + "\n")
+            try:
+                line = json.dumps(resp)
+            except (TypeError, ValueError, UnicodeEncodeError):
+                # an unserializable response (e.g. an OSError echoing a
+                # surrogateescape-decoded path) must not kill the server:
+                # per-job isolation extends to the response itself
+                line = json.dumps({
+                    "status": "error",
+                    "error": "unserializable response",
+                    "id": repr(rid),
+                })
+            out.write(line + "\n")
             out.flush()
 
         with ThreadPoolExecutor(workers, thread_name_prefix="rd-job") as pool:
@@ -253,8 +262,7 @@ def main(argv=None, stdin=None, stdout=None):
     config = ConfigParser.from_json(
         args.config if args.config is not None else DEFAULT_CONFIG
     )
-    if args.kernel is not None:
-        config.config.setdefault("runtime", {})["kernel"] = args.kernel
+    # (Server.__init__ bridges args.kernel into the runtime config)
     srv = Server(args, config)
     print(f"ribodetector_tpu serve: ready (len={args.len}); "
           "one JSON job per line on stdin", file=sys.stderr, flush=True)
