@@ -4,17 +4,20 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "reads/sec", "vs_baseline": N, ...}
 
-value (headline, round 4+) = END-TO-END throughput of the real CLI over a
-              generated 4M x 100bp FASTQ, plain in/out, BEST OF 2 runs
-              (the tunneled link swings adjacent runs up to 2.8x) -- the
-              whole-tool unit the reference's own benchmarks use (NAR
-              paper runtimes). Extra keys carry the gz-in/gz-out variant,
-              the PAIRED-END north-star workload (gz in, -e both, six gz
-              outputs, leading-subsample partition checked against the
-              torch reference golden), per-stage wall breakdown, host-CPU
+value (headline, round 5+) = END-TO-END throughput of the real CLI on the
+              NORTH-STAR workload: generated 100bp PAIRED-END reads, gz
+              in, -e both, six gz outputs, BEST OF 2 runs (the tunneled
+              link swings adjacent runs up to 2.8x), gated on a
+              4096-pair partition check against the torch reference
+              golden under the device parity-gate policy. Extra keys
+              carry the single-end plain/gz variants (the round-4
+              headline), per-stage per-thread wall breakdown, host-CPU
               saturation, the anchor's min/max band across its repeat
               runs, and the device-stage classify rate below (the
-              round-1..3 headline, kept for continuity).
+              round-1..3 headline, kept for continuity). If the paired
+              measure is unavailable or its partition check fails, the
+              headline falls back to single-end plain, then to the
+              device stage.
 
 device_stage_reads_per_sec = sustained Pallas classify throughput on the local TPU chip in
               the production pipeline configuration: 2-bit packed uint8
@@ -71,7 +74,9 @@ GPU_OVER_CPU = 5.0  # reference README.md:6 -- ~50x (GPU) vs ~10x (CPU) over SOT
 
 PROBE_TIMEOUT = 90
 MEASURE_TIMEOUT = 480
-TOTAL_BUDGET = 1500  # give up and emit bench_error past this many seconds
+TOTAL_BUDGET = 1500  # stop STARTING probe/measure attempts past this many
+# seconds (an attempt already running may finish; worst-case overrun is one
+# probe + one measure timeout) and emit bench_error if none succeeded
 
 
 def measure_tpu():
@@ -108,9 +113,11 @@ def measure_tpu():
     # margin is < 5e-3, where the reference's own engines (cuDNN vs
     # onnxruntime) disagree with each other too -- and at most 1e-4 of the
     # batch; anything worse falls back to the bit-exact x6 mode.
-    refl = np.asarray(
-        jax.jit(lambda t: bilstm_logits(params, t, semantics="dense"))(tokens_dev)
-    )
+    # ONE jitted fp32 scan reference reused by both parity gates (two
+    # separate jax.jit lambdas would compile the slow scan twice over the
+    # flaky tunneled link)
+    scan_ref = jax.jit(lambda t: bilstm_logits(params, t, semantics="dense"))
+    refl = np.asarray(scan_ref(tokens_dev))
     ref = refl.argmax(1)
     margin = np.abs(refl[:, 1] - refl[:, 0])
 
@@ -153,11 +160,7 @@ def measure_tpu():
     if not parity_ok(plabels):  # pragma: no cover - never observed
         raise RuntimeError("packed-path argmax mismatch")
     ctokens = rng.integers(0, 4, (B, T)).astype(np.uint8)
-    refl2 = np.asarray(
-        jax.jit(lambda t: bilstm_logits(params, t, semantics="dense"))(
-            jnp.asarray(ctokens)
-        )
-    )
+    refl2 = np.asarray(scan_ref(jnp.asarray(ctokens)))
     blabels = np.asarray(infer(jax.device_put(native.pack_b2(ctokens))))
     fl2 = blabels != refl2.argmax(1)
     if fl2.mean() > 1e-4 or fl2[
@@ -190,29 +193,50 @@ def measure_tpu():
                 i = idxq.get_nowait()
             except queue.Empty:
                 return
-            outq.put(infer(jax.device_put(ptoks[i % len(ptoks)])))
+            try:
+                outq.put(infer(jax.device_put(ptoks[i % len(ptoks)])))
+            except BaseException as e:  # surface on the main thread: a
+                # dead feeder would otherwise block outq.get() forever and
+                # burn the full MEASURE_TIMEOUT misattributed as a wedge
+                outq.put(e)
+                return
 
     t0 = time.time()
     threads = [threading.Thread(target=feed) for _ in range(2)]
     for th in threads:
         th.start()
     for _ in range(N):
-        np.asarray(outq.get())
+        item = outq.get()
+        if isinstance(item, BaseException):
+            raise item
+        np.asarray(item)
     for th in threads:
         th.join()
     dt = (time.time() - t0) / N
     return B / dt
 
 
-E2E_READS = int(os.environ.get("RD_BENCH_E2E_READS", 4_000_000))
+def _env_int(name, default):
+    """Defensive env parse: a malformed value (e.g. '4M') must not crash
+    every child at import -- the probe child would die instantly and
+    main() would misreport a healthy tunnel as wedged."""
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        print(f"# ignoring malformed {name}={os.environ[name]!r}",
+              file=sys.stderr)
+        return default
+
+
+E2E_READS = _env_int("RD_BENCH_E2E_READS", 4_000_000)
 E2E_WARMUP_READS = min(max(E2E_READS // 5, 1024), 800_000)
 
 
 def _gen_fastq(path, n, seed=7):
-    """Fully vectorized 100 bp FASTQ generator (~215 MB per 1M reads):
-    every record is a fixed 215-byte row (@r%09d header), so a chunk is one
-    [m, 215] uint8 matrix -- digits by vectorized divmod, no per-read
-    Python."""
+    """Fully vectorized 100 bp FASTQ generator (216 MB per 1M reads):
+    every record is a fixed 216-byte row (@r%09d header: 12 + 101 + 2 +
+    101 bytes), so a chunk is one [m, 216] uint8 matrix -- digits by
+    vectorized divmod, no per-read Python."""
     rng = np.random.default_rng(seed)
     lut = np.frombuffer(b"ACGT", np.uint8)
     CHUNK = 250_000
@@ -239,7 +263,6 @@ def _gen_fastq(path, n, seed=7):
 
 def _gzip_file(src, dst):
     """Multi-member gzip via the engine's libdeflate codec (fast, valid gz)."""
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ribodetector_tpu.io.gzfast import compress_member
 
     with open(src, "rb") as fin, open(dst, "wb") as fout:
@@ -350,38 +373,50 @@ def measure_e2e():
 
 
 # paired-end north-star workload (BASELINE.json configs 2/3): R1+R2 gz in,
-# -e both, six gz outputs. 16 x 131072 pairs = every device batch is the
-# one full [2*131072 rows] shape (no ladder partials to warm separately).
-E2E_PAIRS = int(os.environ.get("RD_BENCH_E2E_PAIRS", 16 * 131072))
+# -e both, six gz outputs. The paired device batch at -m 32 is 16384
+# pairs (auto_batch_size), and 16*131072 is a multiple of that AND of the
+# 131072-pair chunk size, so every device batch is full-shape (no ladder
+# partials to warm separately). Keep any override a multiple of 131072.
+E2E_PAIRS = _env_int("RD_BENCH_E2E_PAIRS", 16 * 131072)
 PARTITION_SAMPLE = 4096  # leading pairs checked against the torch golden
+
+
+_TORCH_BASE = {"A": (1, 0, 0, 0), "C": (0, 1, 0, 0), "G": (0, 0, 1, 0),
+               "T": (0, 0, 0, 1), "U": (0, 0, 0, 1)}
+_TORCH_ZERO = (0, 0, 0, 0)
+
+
+def _torch_logits(rnn, head, seqs):
+    """Reference-path logits for a list of read strings (the one-hot
+    encode + dense last-step gather shared by the CPU baseline and the
+    paired partition golden -- one definition so they cannot drift)."""
+    import torch
+
+    x = torch.tensor(
+        np.array(
+            [[_TORCH_BASE.get(b, _TORCH_ZERO) for b in s[:T]] for s in seqs],
+            dtype=np.float32,
+        )
+    )
+    with torch.no_grad():
+        r_out, _ = rnn(x)
+        g = x.size(1) - 1 - x.sum(2).flip(1).argmax(1)
+        return head(r_out[torch.arange(x.size(0)), g, :]).numpy()
 
 
 def _torch_pair_labels_both(r1_seqs, r2_seqs):
     """Reference-golden pair labels under -e both: torch BiLSTM logits for
     both ends + the reference's concordance rule (detect.py:642-654).
-    Returns int labels (0 norrna / 1 rrna / -1 unclf)."""
-    import torch
-
+    Returns (labels [0/1/-1], min_end_margin per pair) -- the margin lets
+    the partition check apply the device parity gate's policy (flips
+    allowed ONLY in the fp32-noise class)."""
     rnn, head = _torch_model()
-
-    def logits(seqs):
-        BASE = {"A": (1, 0, 0, 0), "C": (0, 1, 0, 0), "G": (0, 0, 1, 0),
-                "T": (0, 0, 0, 1), "U": (0, 0, 0, 1)}
-        ZERO = (0, 0, 0, 0)
-        x = torch.tensor(
-            np.array(
-                [[BASE.get(b, ZERO) for b in s[:T]] for s in seqs],
-                dtype=np.float32,
-            )
-        )
-        with torch.no_grad():
-            r_out, _ = rnn(x)
-            g = x.size(1) - 1 - x.sum(2).flip(1).argmax(1)
-            return head(r_out[torch.arange(x.size(0)), g, :]).numpy()
-
-    l1, l2 = logits(r1_seqs), logits(r2_seqs)
+    l1 = _torch_logits(rnn, head, r1_seqs)
+    l2 = _torch_logits(rnn, head, r2_seqs)
     a1, a2 = l1.argmax(1), l2.argmax(1)
-    return np.where(a1 == a2, a1, -1)
+    m1 = np.abs(l1[:, 1] - l1[:, 0])
+    m2 = np.abs(l2[:, 1] - l2[:, 0])
+    return np.where(a1 == a2, a1, -1), np.minimum(m1, m2)
 
 
 def _head_records(path, limit):
@@ -404,12 +439,15 @@ def _head_records(path, limit):
 
 def _check_partition(d, r1_plain, outs):
     """Compare the first PARTITION_SAMPLE pairs' file assignment against
-    the torch reference golden. Output order is input order, so pair ids
-    < N appear within each file's first N records. Returns
-    (n_checked, n_mismatch)."""
+    the torch reference golden, under the SAME policy as the device
+    parity gate: mismatches allowed only for pairs whose weaker end sits
+    in the fp32-noise class (margin < 5e-3), and at most max(2, 1e-4 N)
+    of them. Output order is input order, so pair ids < N appear within
+    each file's first N records. Returns (n_checked, n_mismatch,
+    n_high_margin_mismatch)."""
     sample = _head_records(r1_plain, PARTITION_SAMPLE)
     r2_sample = _head_records(os.path.join(d, "in2.fq"), PARTITION_SAMPLE)
-    want = _torch_pair_labels_both(
+    want, margin = _torch_pair_labels_both(
         [s for _, s in sample], [s for _, s in r2_sample]
     )
     got = {}
@@ -418,10 +456,9 @@ def _check_partition(d, r1_plain, outs):
             pid = int(hdr[2:11])
             if pid < PARTITION_SAMPLE:
                 got[pid] = label
-    mism = sum(
-        1 for i in range(len(sample)) if got.get(i, None) != int(want[i])
-    )
-    return len(sample), mism
+    mism = [i for i in range(len(sample)) if got.get(i, None) != int(want[i])]
+    high = sum(1 for i in mism if margin[i] >= 5e-3)
+    return len(sample), len(mism), high
 
 
 def measure_e2e_paired():
@@ -457,10 +494,12 @@ def measure_e2e_paired():
         rate, runs, st, cpu = _best_of(
             2, lambda: _run_cli_timed([g1, g2], [o1, o2], [r1, r2], ensure="both")
         )
-        n_checked, n_mism = _check_partition(
+        n_checked, n_mism, n_high = _check_partition(
             d, p1, [(0, o1), (1, r1), (-1, o1 + ".unclassified.gz")]
         )
-        tol = max(4, int(0.002 * n_checked))
+        # device parity-gate policy: no high-margin flips at all, and at
+        # most max(2, 1e-4 N) noise-class flips
+        ok = n_high == 0 and n_mism <= max(2, int(1e-4 * n_checked))
         return {
             # reads/s counts BOTH ends (reference accounting): rate is
             # pairs-based inside detect(), which reports reads
@@ -469,11 +508,10 @@ def measure_e2e_paired():
             "e2e_paired_pairs": E2E_PAIRS,
             "e2e_paired_cpu_util": round(cpu, 3),
             "e2e_paired_stages_sec": st,
-            "e2e_paired_partition": (
-                "ok" if n_mism <= tol else "MISMATCH"
-            ),
+            "e2e_paired_partition": "ok" if ok else "MISMATCH",
             "e2e_paired_partition_checked": n_checked,
             "e2e_paired_partition_flips": n_mism,
+            "e2e_paired_partition_high_margin_flips": n_high,
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -650,6 +688,13 @@ def main():
     def vs(v):
         return round(v / gpu_est, 2) if (v and gpu_est) else None
 
+    anchor_desc = (
+        "median of {} idle-host anchor runs, min/max band in "
+        "vs_baseline_band".format(len(cpu_runs))
+        if cpu_runs
+        else "anchor measurement UNAVAILABLE this run; vs_baseline is null"
+    )
+
     def band(v):
         # the anchor's own min..max across this session's repeats: the
         # honest uncertainty interval for any vs_baseline multiple
@@ -674,13 +719,12 @@ def main():
                       "plain/gz variants, per-stage per-thread breakdown and "
                       "the device-stage classify rate are in the extra keys; "
                       "baseline: RiboDetector-GPU estimate = 5x measured "
-                      "reference-equivalent torch-CPU -- median of {} "
-                      "idle-host anchor runs, min/max band in "
-                      "vs_baseline_band -- reference README.md:6 ratios".format(
+                      "reference-equivalent torch-CPU -- {} -- reference "
+                      "README.md:6 ratios".format(
                           round(2 * e2e.get("e2e_paired_pairs", E2E_PAIRS) / 1e6, 1),
                           e2e.get("e2e_paired_pairs"),
                           e2e.get("e2e_paired_partition_flips"),
-                          len(cpu_runs) if cpu_runs else 0,
+                          anchor_desc,
                       ),
             "value": paired_val,
             "unit": "reads/sec",
@@ -695,11 +739,10 @@ def main():
                       "classify rate are in the extra keys; paired measure "
                       "unavailable this run; baseline: RiboDetector-GPU "
                       "estimate = 5x measured reference-equivalent "
-                      "torch-CPU -- median of {} idle-host anchor runs, "
-                      "min/max band in vs_baseline_band -- reference "
-                      "README.md:6 ratios)".format(
+                      "torch-CPU -- {} -- reference README.md:6 "
+                      "ratios)".format(
                           round(e2e.get("e2e_reads", E2E_READS) / 1e6, 1),
-                          len(cpu_runs) if cpu_runs else 0,
+                          anchor_desc,
                       ),
             "value": e2e_val,
             "unit": "reads/sec",
