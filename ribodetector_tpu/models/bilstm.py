@@ -145,6 +145,11 @@ def dense_gather_index(tokens):
     all-zero input argmax returns 0 => index T-1.
     """
     T = tokens.shape[-1]
+    if T == 0:
+        # jnp.max over an empty axis raises at trace time; a zero-length
+        # read dimension has no defined gather -- fail with the contract,
+        # not a reduction error
+        raise ValueError("dense semantics requires read length T >= 1")
     pos = jnp.arange(T, dtype=jnp.int32)
     last = jnp.max(jnp.where(tokens != ALPHABET, pos, -1), axis=-1)
     return jnp.where(last < 0, T - 1, last).astype(jnp.int32)

@@ -39,7 +39,11 @@ def unpack_b5_tokens(packed, max_len):
     p32 = packed.astype(jnp.int32)
     t0 = p32 % 5
     t1 = (p32 // 5) % 5
-    t2 = p32 // 25
+    # clamp t2 to the pad token: a corrupt byte > 124 would otherwise emit
+    # tokens 5..7, where the three kernels legitimately diverge (the scan's
+    # jnp.take clips, x6's one-hot hits zeroed columns) -- clamping keeps
+    # every kernel on the defined 0..4 alphabet even for garbage input
+    t2 = jnp.minimum(p32 // 25, 4)
     return jnp.stack([t0, t1, t2], axis=-1).reshape(packed.shape[0], -1)[
         :, :max_len
     ]

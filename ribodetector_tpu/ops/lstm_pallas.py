@@ -387,6 +387,15 @@ def bilstm_logits_pallas(
             f"matmul='{matmul}' requires float32 compute_dtype (use "
             "matmul='x1' for bfloat16)"
         )
+    if matmul in ("x3", "x6") and precision != jax.lax.Precision.HIGHEST:
+        # the split-limb passes are exact only when each MXU pass runs at
+        # HIGHEST; a DEFAULT precision would silently turn 'x6' into x1
+        # accuracy under the bit-exact label (same hole as the dtype
+        # guard above, for the other knob)
+        raise ValueError(
+            f"matmul='{matmul}' requires precision=HIGHEST (got "
+            f"{precision}); use matmul='x1' for reduced precision"
+        )
     if matmul == "x1" and precision == jax.lax.Precision.HIGHEST:
         precision = jax.lax.Precision.DEFAULT
 
@@ -407,7 +416,10 @@ def bilstm_logits_pallas(
 
     if packed:
         lengths = lengths.astype(jnp.int32)
-        gather = jnp.maximum(lengths - 1, 0)
+        # clamp to [0, T-1] like the scan twin (models/bilstm.py): a
+        # caller-supplied length > T would otherwise never match any
+        # capture step and silently return bias-only logits
+        gather = jnp.clip(lengths - 1, 0, T - 1)
     else:
         gather = dense_gather_index(tokens)
         lengths = jnp.zeros((Bp,), jnp.int32)

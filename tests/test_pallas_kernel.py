@@ -129,3 +129,49 @@ def test_kernel_contract_guards(params):
                                np.zeros(0, np.int32), semantics="dense",
                                interpret=True)
     assert out.shape == (0, 2)
+
+
+def test_round5_contract_fixes(params):
+    """Round-5 review fixes: packed lengths > T clamp to the last step
+    (matching the scan twin instead of bias-only logits), x6 refuses
+    non-HIGHEST precision, corrupt base-5 bytes decode within the 0..4
+    alphabet, and T=0 dense input fails with the contract error."""
+    import jax
+    import jax.numpy as jnp
+
+    from ribodetector_tpu.models.bilstm import bilstm_logits
+    from ribodetector_tpu.ops.dispatch import unpack_b5_tokens
+
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, 4, (8, 12)).astype(np.uint8)
+    over = np.full(8, 99, np.int32)  # lengths far past T
+    full = np.full(8, 12, np.int32)
+    # clamp semantics: lengths past T behave exactly like length T within
+    # the SAME kernel (the old code returned bias-only logits), and agree
+    # with the scan twin up to interpret-mode op-ordering noise
+    got_over = np.asarray(
+        bilstm_logits_pallas(params, tokens, over, semantics="packed",
+                             matmul="x6", interpret=True)
+    )
+    got_full = np.asarray(
+        bilstm_logits_pallas(params, tokens, full, semantics="packed",
+                             matmul="x6", interpret=True)
+    )
+    np.testing.assert_array_equal(got_over, got_full)
+    want = np.asarray(
+        bilstm_logits(params, tokens, over, semantics="packed")
+    )
+    np.testing.assert_allclose(got_over, want, rtol=0, atol=1e-5)
+
+    with pytest.raises(ValueError, match="HIGHEST"):
+        bilstm_logits_pallas(params, tokens, np.full(8, 12, np.int32),
+                             semantics="packed", matmul="x6",
+                             precision=jax.lax.Precision.DEFAULT,
+                             interpret=True)
+
+    corrupt = np.full((4, 5), 255, np.uint8)  # > any valid base-5 byte
+    toks = np.asarray(unpack_b5_tokens(jnp.asarray(corrupt), 15))
+    assert toks.max() <= 4
+
+    with pytest.raises(ValueError, match="T >= 1"):
+        bilstm_logits(params, np.zeros((4, 0), np.uint8), semantics="dense")
