@@ -112,8 +112,12 @@ def save_params(path, params: BiLSTMParams, meta: dict | None = None):
     if meta:
         import json
 
+        # default=str: trainer metadata may hold non-JSON values (paths,
+        # numpy scalars); degrade them to strings instead of crashing the
+        # checkpoint write (keeps parity with the converter's encoding --
+        # the ONE other writer of this field, models/convert.py)
         arrays["_meta_json"] = np.frombuffer(
-            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+            json.dumps(meta, default=str).encode("utf-8"), dtype=np.uint8
         )
     np.savez(path, **arrays)
 

@@ -53,9 +53,9 @@ def convert_checkpoint(pth_path: str, npz_path: str) -> dict:
     (keys arch/epoch/state_dict/metrics/..., detect.py:101,115-116).
     Returns the metadata dict stored alongside the weights.
     """
-    import json
-
     import torch
+
+    from ribodetector_tpu.models.bilstm import BiLSTMParams, save_params
 
     if not npz_path.endswith(".npz"):
         # np.savez silently appends ".npz"; fail instead of reporting a
@@ -71,11 +71,10 @@ def convert_checkpoint(pth_path: str, npz_path: str) -> dict:
     else:
         state_dict = state
 
-    arrays = state_dict_to_arrays(state_dict)
-    arrays["_meta_json"] = np.frombuffer(
-        json.dumps(meta, default=str).encode("utf-8"), dtype=np.uint8
-    )
-    np.savez(npz_path, **arrays)
+    # ONE writer of the artifact format: bilstm.save_params owns the
+    # _meta_json embedding (a second inline copy had already drifted on
+    # JSON fallback behavior before round 5 unified them)
+    save_params(npz_path, BiLSTMParams(**state_dict_to_arrays(state_dict)), meta)
     return meta
 
 
@@ -87,7 +86,10 @@ def arrays_to_state_dict(params) -> dict:
     (the LSTM cell only ever uses their sum)."""
 
     def t(x):
-        return np.asarray(x, dtype=np.float32)
+        # jax arrays view as READ-ONLY numpy; torch.from_numpy on those
+        # warns about undefined behavior, so every exported tensor owns
+        # writable storage (the .T.copy()s already did; biases need it too)
+        return np.array(x, dtype=np.float32)
 
     out = {
         "rnn.weight_ih_l0": t(params.w_ih_f).T.copy(),
@@ -116,7 +118,15 @@ def export_checkpoint(npz_path: str, pth_path: str) -> dict:
     params = load_params(npz_path)
     state = {k: torch.from_numpy(v) for k, v in arrays_to_state_dict(params).items()}
     meta = load_params_meta(npz_path)
-    torch.save({"state_dict": state, "meta": meta}, pth_path)
+    # metadata goes TOP-LEVEL like the reference checkpoint layout
+    # (arch/epoch/metrics next to state_dict, detect.py:101) -- that is
+    # also what convert_checkpoint reads back, so npz -> pth -> npz
+    # round-trips keep it (a nested 'meta' key used to drop it silently)
+    payload = {
+        k: v for k, v in (meta or {}).items() if k != "state_dict"
+    }
+    payload["state_dict"] = state
+    torch.save(payload, pth_path)
     return meta
 
 
@@ -141,11 +151,19 @@ def export_onnx(npz_path: str, onnx_path: str, read_len: int = 100) -> None:
 
     from ribodetector_tpu.models.bilstm import load_params
 
+    if read_len < 1:
+        raise ValueError(
+            f"read length must be >= 1 to trace the ONNX graph, got {read_len}"
+        )
+    params = load_params(npz_path)
+    hidden = int(np.asarray(params.w_hh_f).shape[0])  # width-generic:
+    # custom --hidden checkpoints export too, not just the reference 128
+
     class SeqModel(nn.Module):
         def __init__(self):
             super().__init__()
-            self.rnn = nn.LSTM(4, 128, 1, batch_first=True, bidirectional=True)
-            self.out = nn.Linear(256, 2)
+            self.rnn = nn.LSTM(4, hidden, 1, batch_first=True, bidirectional=True)
+            self.out = nn.Linear(2 * hidden, 2)
 
         def forward(self, x):
             r_out, _ = self.rnn(x)
@@ -154,7 +172,7 @@ def export_onnx(npz_path: str, onnx_path: str, read_len: int = 100) -> None:
             return self.out(r_out[torch.arange(x.size(0)), g, :])
 
     model = SeqModel()
-    state = arrays_to_state_dict(load_params(npz_path))
+    state = arrays_to_state_dict(params)
     model.load_state_dict({k: torch.from_numpy(v) for k, v in state.items()})
     model.eval()
 
@@ -253,7 +271,12 @@ def main(argv=None):
 
     src, dst = args.src, args.dst
     if dst is None:
-        stem = src.rsplit(".", 1)[0]
+        import os
+
+        # splitext, NOT rsplit('.', 1): a dot in a DIRECTORY name must not
+        # truncate the path ('ckpts.2024/model' -> 'ckpts.2024/model.npz',
+        # not 'ckpts.npz' in the CWD)
+        stem = os.path.splitext(src)[0]
         dst = stem + (".onnx" if src.endswith(".npz") else ".npz")
     length = args.length if args.length is not None else args.read_len_pos
     # validate the (source, destination) pair before dispatching: feeding a

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ribodetector_tpu.models.bilstm import BiLSTMParams, bilstm_logits, init_params
 from ribodetector_tpu.train.loss import cross_entropy_loss
-from ribodetector_tpu.train.metrics import accuracy, f1, mcc, precision, recall
+from ribodetector_tpu.train.metrics import confusion_counts
 
 
 @dataclass
@@ -160,6 +160,13 @@ def evaluate(eval_step, params, eval_data, batch_size=4096):
     batch-averaged)."""
     tokens, lengths, labels = (np.asarray(x) for x in eval_data)
     n = len(labels)
+    if n == 0 or batch_size < 1:
+        # fail up front with the contract, not "range() arg 3 must not be
+        # zero" after a full epoch of training (empty --val-* inputs)
+        raise ValueError(
+            f"evaluate() needs a non-empty eval set (got {n} rows) and "
+            f"batch_size >= 1 (got {batch_size})"
+        )
     eb = min(batch_size, n)
     preds = np.empty(n, np.int32)
     loss_sum = 0.0
@@ -175,15 +182,23 @@ def evaluate(eval_step, params, eval_data, batch_size=4096):
         k = sl.stop - sl.start
         preds[sl] = np.asarray(pred)[:k]
         loss_sum += float(jnp.sum(losses[:k]))
-    pred = jnp.asarray(preds)
-    lab = jnp.asarray(labels)
+    # confusion counts ONCE; the four derived metrics come from the same
+    # (tp, fp, tn, fn) instead of re-reducing the full prediction set
+    # five times per epoch
+    tp, fp, tn, fn = (
+        float(x) for x in confusion_counts(jnp.asarray(preds), jnp.asarray(labels))
+    )
+    eps = 1e-12  # same max(denom, eps) guard as train/metrics.py
+    rec = tp / max(tp + fn, eps)
+    prec = tp / max(tp + fp, eps)
+    denom = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) ** 0.5
     return {
         "loss": loss_sum / n,
-        "acc": float(accuracy(pred, lab)),
-        "recall": float(recall(pred, lab)),
-        "precision": float(precision(pred, lab)),
-        "F1": float(f1(pred, lab)),
-        "mcc": float(mcc(pred, lab)),
+        "acc": (tp + tn) / n,
+        "recall": rec,
+        "precision": prec,
+        "F1": 2 * prec * rec / max(prec + rec, eps),
+        "mcc": (tp * tn - fp * fn) / max(denom, eps),
     }
 
 
