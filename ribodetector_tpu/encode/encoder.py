@@ -73,9 +73,12 @@ def encode_batch(seqs, max_len, out_tokens=None):
     idx = starts[:, None] + col[None, :]
     gathered = TOKEN_LUT[buf[idx]]
     if out_tokens is not None:
+        # fill + masked copy: one pass over the buffer instead of a
+        # boolean-inverse temp plus a fancy-assign re-writing pads the
+        # caller had typically pre-filled anyway
         tokens = out_tokens[:n]
+        tokens.fill(PAD_TOKEN)
         np.copyto(tokens, gathered, where=valid)
-        tokens[~valid] = PAD_TOKEN
     else:
         tokens = np.where(valid, gathered, PAD_TOKEN)
     return tokens, lengths

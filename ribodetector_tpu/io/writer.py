@@ -11,10 +11,16 @@ import gzip
 
 
 def open_for_write(read_file: str):
-    """Open a plain or gzipped text file for writing based on its extension."""
+    """Open a plain or gzipped text file for writing based on its
+    extension. latin-1, matching the reader (io/fastx.open_seq_file): one
+    char = one byte, so records with non-ASCII bytes pass through
+    verbatim (quirk #11) instead of being re-encoded as UTF-8 mojibake;
+    identical bytes to the reference for all-ASCII content (the reference
+    crashes before ever writing non-ASCII)."""
     if read_file.endswith("gz"):
-        return gzip.open(read_file, mode="wt", compresslevel=5)
-    return open(read_file, "w")
+        return gzip.open(read_file, mode="wt", compresslevel=5,
+                         encoding="latin-1")
+    return open(read_file, "w", encoding="latin-1")
 
 
 def open_for_write_bytes(read_file: str, gz_level=None):

@@ -199,3 +199,43 @@ def test_gzip_suffix_rejected_like_reference(tmp_path):
     with pytest.raises(ValueError):
         get_seq_format("reads.fq.gzip")
     assert get_seq_format("reads.fq.gz") == "fqgz"
+
+
+def test_fasta_preheader_and_headerless_reference_parity(tmp_path):
+    """Reference quirks for malformed FASTA (fastx_parser.py:38-55):
+    sequence lines BEFORE the first '>' prepend to record 1, and a
+    headerless file yields one ('', seq) record at EOF."""
+    import io
+
+    from ribodetector_tpu.io.fastx import seq_parser
+
+    recs = list(seq_parser(io.StringIO("ACGT\n>h1\ngggg\n>h2\nTT\n"), "fasta"))
+    assert recs == [(">h1", "ACGTGGGG"), (">h2", "TT")]
+
+    recs = list(seq_parser(io.StringIO("acgt\nACGT\n"), "fasta"))
+    assert recs == [("", "ACGTACGT")]
+
+    # empty file / header-only file stay empty
+    assert list(seq_parser(io.StringIO(""), "fasta")) == []
+    assert list(seq_parser(io.StringIO(">only\n"), "fasta")) == []
+
+
+def test_portable_open_is_latin1(tmp_path):
+    """Input files are byte streams: a latin-1 byte (0xE9) in a header
+    must parse on the portable path regardless of locale, one byte = one
+    char (matching the native path's fixed byte semantics)."""
+    from ribodetector_tpu.io.fastx import parse_file
+
+    raw = b"@r\xe9ad1\nAC\xe9GT\n+\nIIIII\n"
+    p = tmp_path / "l1.fq"
+    p.write_bytes(raw)
+    (rec,) = list(parse_file(str(p)))
+    assert rec[0] == "@r\xe9ad1" and len(rec[1]) == 5
+
+    # eager validation: a bad extension errors at call time
+    import pytest as _pytest
+
+    bad = tmp_path / "x.bz2"
+    bad.write_bytes(b"")
+    with _pytest.raises(ValueError):
+        parse_file(str(bad))
