@@ -24,9 +24,33 @@ _build_error = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_SO + ".tmp", _SO)
+    # unique tmp per process: two builders racing a FIXED tmp path (multi-
+    # host launch on a shared filesystem, pytest-xdist) could interleave
+    # g++ writes and os.replace a half-written .so into place -- which
+    # then LOOKS fresh (newer mtime than the source) and silently disables
+    # the fast path on every later run. Unique tmp + atomic replace means
+    # the race's loser just overwrites with its own complete build.
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        try:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        except OSError:
+            pass
+
+
+def _needs_build():
+    if not os.path.exists(_SO):
+        return True
+    if not os.path.exists(_SRC):
+        # a prebuilt .so without its source (stripped install): use it
+        # rather than failing the freshness check on a missing file
+        return False
+    return os.path.getmtime(_SO) < os.path.getmtime(_SRC)
 
 
 def _load():
@@ -37,7 +61,7 @@ def _load():
         if _lib is not None or _build_error is not None:
             return _lib
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if _needs_build():
                 _build()
             lib = ctypes.CDLL(_SO)
             i64 = ctypes.c_int64
@@ -81,11 +105,36 @@ def _load():
             _lib = lib
         except Exception as e:  # pragma: no cover - depends on toolchain
             _build_error = e
+            # surface the root cause ONCE: the engine falls back to the
+            # portable path silently otherwise, a multi-x throughput
+            # regression with the actionable g++ stderr discarded
+            import logging
+
+            detail = e
+            if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+                detail = e.stderr.decode(errors="replace")[-500:]
+            logging.getLogger("ribodetector_tpu").warning(
+                "native parser unavailable (falling back to the slower "
+                "portable path): %s",
+                detail,
+            )
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def _require():
+    """_load() or a clear error: the public parse/gather helpers must not
+    dereference None into an AttributeError when the toolchain is absent."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native extension unavailable (g++ build failed or no "
+            "toolchain); use the portable path (runtime.native=false)"
+        ) from _build_error
+    return lib
 
 
 def _ptr(arr, ctype):
@@ -100,7 +149,7 @@ def parse_fastq_chunk(data: bytes, max_len: int, at_eof=True):
     last complete record (tail bytes belong to the next chunk). at_eof
     finalizes an unterminated final record (default: whole-buffer use).
     """
-    lib = _load()
+    lib = _require()
     n = len(data)
     max_records = data.count(b"\n") // 4 + 2
     offsets = np.empty((max_records, 2), np.int64)
@@ -131,7 +180,7 @@ def b5_packed_len(max_len: int) -> int:
 def parse_fastq_chunk_b5(data: bytes, max_len: int, at_eof=True):
     """Like parse_fastq_chunk but tokens come back base-5 packed
     ([n, (max_len+2)//3] uint8, 3 tokens/byte, pad trio byte = 124)."""
-    lib = _load()
+    lib = _require()
     n = len(data)
     max_records = data.count(b"\n") // 4 + 2
     pl = b5_packed_len(max_len)
@@ -159,7 +208,7 @@ def parse_fastq_chunk_b5b2(data: bytes, max_len: int, at_eof=True):
     """Like parse_fastq_chunk_b5 but additionally returns the 2-bit packed
     rows and the per-record b2ok eligibility flag (clean ACGTU call at full
     max_len length -- see fastx.cpp rd_parse_fastq_b5b2)."""
-    lib = _load()
+    lib = _require()
     n = len(data)
     max_records = data.count(b"\n") // 4 + 2
     pl = b5_packed_len(max_len)
@@ -232,11 +281,15 @@ def gather_records(data, offsets: np.ndarray, sel: np.ndarray, scratch=None):
     window -- gathered from in place, zero-copy).
 
     With `scratch` (a growable bytearray) the gather reuses its storage and
-    returns a memoryview into it -- valid until the next call with the same
-    scratch. Avoids a fresh allocation per write (this host's first-touch
-    page faults make per-call buffers expensive).
+    returns a memoryview into it. The caller MUST release() that view (or
+    drop every reference) before the next call that may need to GROW the
+    same scratch -- a live export blocks bytearray resizing with
+    BufferError. (The engine's writer releases views on its writer thread
+    before recycling, native_pipeline._Writer._run.) Avoids a fresh
+    allocation per write (this host's first-touch page faults make
+    per-call buffers expensive).
     """
-    lib = _load()
+    lib = _require()
     if isinstance(data, bytearray):
         data = (ctypes.c_char * len(data)).from_buffer(data)
     sel = np.ascontiguousarray(sel, np.int64)

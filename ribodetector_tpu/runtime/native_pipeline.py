@@ -790,6 +790,13 @@ class _Writer:
 
     def write(self, fh, payload, scratch=None):
         if self._exc is not None:
+            # release the payload view BEFORE recycling its scratch: the
+            # caller's traceback frames keep the view alive while the
+            # error propagates, and a still-exported bytearray back in the
+            # pool would turn the real disk error into a confusing
+            # BufferError at the next producer's resize
+            if isinstance(payload, memoryview):
+                payload.release()
             if scratch is not None:
                 self._free.put(scratch)
             raise self._exc
